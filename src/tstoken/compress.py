@@ -1,0 +1,271 @@
+"""Gorilla-style compressed tier blocks (north rule; no reference
+counterpart — SURVEY.md §1.4).
+
+Codecs per Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time
+Series Database" (VLDB 2015):
+  - timestamps: delta-of-delta with the paper's bucket widths
+    ('0' | '10'+7b | '110'+9b | '1110'+12b | '1111'+32b)
+  - float64 values: XOR with previous; '0' if identical, '10' +
+    meaningful bits if window fits the previous one, '11' + 5b leading
+    + 6b length + bits otherwise.
+
+Blocks are stored as binary columns per (source, tier, chunk) row:
+(source, chunk, ts_block, val_block, n_points, codec). Encoding runs
+inside applyInPandas over per-source chunks — bit twiddling on NumPy
+arrays, Arrow-batched, never row-at-a-time over Spark rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, StringType,
+                               StructField, StructType)
+
+CODEC = "gorilla+dod"
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        pos = self.pos
+        for _ in range(nbits):
+            byte = self.data[pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return out
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode int64 epoch seconds."""
+    ts = np.asarray(ts, dtype=np.int64)
+    w = _BitWriter()
+    n = ts.shape[0]
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if n == 1:
+        return w.getvalue()
+    first_delta = int(ts[1] - ts[0])
+    w.write(first_delta & ((1 << 32) - 1), 32)
+    deltas = np.diff(ts)
+    dods = np.diff(deltas)
+    for d in dods:
+        d = int(d)
+        if d == 0:
+            w.write(0, 1)
+        elif -63 <= d <= 64:
+            w.write(0b10, 2)
+            w.write(d + 63, 7)
+        elif -255 <= d <= 256:
+            w.write(0b110, 3)
+            w.write(d + 255, 9)
+        elif -2047 <= d <= 2048:
+            w.write(0b1110, 4)
+            w.write(d + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(d & ((1 << 32) - 1), 32)
+    return w.getvalue()
+
+
+def decode_timestamps(block: bytes) -> np.ndarray:
+    r = _BitReader(block)
+    n = r.read(32)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t0 = r.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    if n == 1:
+        return out
+    delta = r.read(32)
+    if delta >= 1 << 31:
+        delta -= 1 << 32
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        tag = r.read(1)
+        if tag == 0:
+            dod = 0
+        else:
+            tag2 = r.read(1)
+            if tag2 == 0:
+                dod = r.read(7) - 63
+            else:
+                tag3 = r.read(1)
+                if tag3 == 0:
+                    dod = r.read(9) - 255
+                else:
+                    tag4 = r.read(1)
+                    if tag4 == 0:
+                        dod = r.read(12) - 2047
+                    else:
+                        dod = r.read(32)
+                        if dod >= 1 << 31:
+                            dod -= 1 << 32
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """Gorilla XOR-encode float64 values."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    w = _BitWriter()
+    n = bits.shape[0]
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(int(bits[0]), 64)
+    prev = int(bits[0])
+    prev_lead, prev_tail = 65, 65  # invalid → force new window first time
+    for i in range(1, n):
+        cur = int(bits[i])
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            lead = 64 - xor.bit_length()
+            if lead > 31:
+                lead = 31
+            tail = (xor & -xor).bit_length() - 1
+            if prev_lead <= lead and prev_tail <= tail:
+                w.write(0b10, 2)
+                nmean = 64 - prev_lead - prev_tail
+                w.write(xor >> prev_tail, nmean)
+            else:
+                w.write(0b11, 2)
+                nmean = 64 - lead - tail
+                w.write(lead, 5)
+                w.write(nmean & 0x3F, 6)  # 64 encodes as 0
+                w.write(xor >> tail, nmean)
+                prev_lead, prev_tail = lead, tail
+        prev = cur
+    return w.getvalue()
+
+
+def decode_values(block: bytes) -> np.ndarray:
+    r = _BitReader(block)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    prev = r.read(64)
+    out[0] = prev
+    lead, tail = 0, 0
+    for i in range(1, n):
+        tag = r.read(1)
+        if tag == 0:
+            out[i] = prev
+            continue
+        tag2 = r.read(1)
+        if tag2 == 1:
+            lead = r.read(5)
+            nmean = r.read(6)
+            if nmean == 0:
+                nmean = 64
+            tail = 64 - lead - nmean
+        else:
+            nmean = 64 - lead - tail
+        xor = r.read(nmean) << tail
+        prev ^= xor
+        out[i] = prev
+    return out.view(np.float64)
+
+
+BLOCK_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("chunk", IntegerType()),
+    StructField("ts_block", BinaryType()),
+    StructField("val_block", BinaryType()),
+    StructField("n_points", IntegerType()),
+    StructField("codec", StringType()),
+])
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("bucket_ts")
+    ts = (pdf["bucket_ts"].astype("int64") // 10 ** 9).to_numpy()
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "source": [pdf["source"].iloc[0]],
+        "chunk": [int(pdf["chunk"].iloc[0])],
+        "ts_block": [encode_timestamps(ts)],
+        "val_block": [encode_values(vals)],
+        "n_points": [len(ts)],
+        "codec": [CODEC],
+    })
+
+
+def compress_tier(rollup: DataFrame, value_col: str = "sum_n_tok",
+                  points_per_chunk: int = 4096) -> DataFrame:
+    """Tier → blocks_<tier>: one row per (source, chunk)."""
+    src = rollup.select(
+        "source", "bucket_ts", F.col(value_col).cast("double").alias("value"),
+        (F.floor(F.col("bucket_ts").cast("long") /
+                 F.lit(points_per_chunk * 60))).cast("int").alias("chunk"))
+    return src.groupBy("source", "chunk").applyInPandas(
+        _encode_group, schema=BLOCK_SCHEMA)
+
+
+def decompress_blocks(blocks: DataFrame) -> DataFrame:
+    """blocks_<tier> → (source, bucket_ts, value)."""
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    out_schema = StructType([
+        StructField("source", StringType()),
+        StructField("bucket_ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in pdf.iterrows():
+            ts = decode_timestamps(row["ts_block"])
+            vals = decode_values(row["val_block"])
+            frames.append(pd.DataFrame({
+                "source": row["source"],
+                "bucket_ts": pd.to_datetime(ts, unit="s"),
+                "value": vals,
+            }))
+        if not frames:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "bucket_ts": pd.Series(dtype="datetime64[ns]"),
+                                 "value": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    return blocks.groupBy("source").applyInPandas(fn, schema=out_schema)

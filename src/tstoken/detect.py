@@ -1,0 +1,285 @@
+"""Anomaly detectors over rolled-up tiers.
+
+Two layers (SURVEY.md §7.3):
+  - NATIVE detectors (IQR, z-score, MAD, moving-average + CV window
+    search): pure pyspark.sql expressions — whole-stage codegen, no
+    Python in the data path. These are exact reimplementations of the
+    reference's fence math (catch.py:124-165, 186, 216-235, 743-947).
+  - GROUPED Arrow-UDF detectors (classic/STL/MSTL/ESD): applyInPandas
+    per source, each group being ONE rolled-up series (bounded size:
+    buckets, never raw rows), running the tstoken.compat pipeline.
+
+Flag schema (FIXTURES.md A2): (source, bucket_ts, method, is_outlier,
+score). All buckets are emitted with a boolean, not just the hits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, DoubleType, StringType,
+                               StructField, StructType, TimestampType)
+
+from .rollup import TIER_PERIOD
+
+FLAG_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("bucket_ts", TimestampType()),
+    StructField("method", StringType()),
+    StructField("is_outlier", BooleanType()),
+    StructField("score", DoubleType()),
+])
+
+VALUE_COL = "sum_n_tok"
+
+
+def _flags_select(df: DataFrame, method: str, flag, score) -> DataFrame:
+    return df.select(
+        "source", "bucket_ts", F.lit(method).alias("method"),
+        flag.alias("is_outlier"), score.cast("double").alias("score"))
+
+
+# ------------------------------------------------------------------ IQR
+
+def iqr_flags(rollup: DataFrame, value_col: str = VALUE_COL) -> DataFrame:
+    """Per-source IQR fences, fully native (catch.py:150-157 semantics:
+    exact linear-interpolation percentiles, fences ±1.5·IQR)."""
+    v = F.col(value_col).cast("double")
+    fences = (rollup.groupBy("source")
+              .agg(F.percentile(v, F.array(F.lit(0.25), F.lit(0.75)))
+                   .alias("q")))
+    fences = fences.select(
+        "source",
+        (F.col("q")[0] - 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("lo"),
+        (F.col("q")[1] + 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("hi"),
+        (F.col("q")[1] - F.col("q")[0]).alias("iqr"))
+    j = rollup.join(F.broadcast(fences), "source")
+    flag = (v < F.col("lo")) | (v > F.col("hi"))
+    dist = F.greatest(F.col("lo") - v, v - F.col("hi"), F.lit(0.0))
+    score = F.when(F.col("iqr") > 0, dist / F.col("iqr")).otherwise(dist)
+    return _flags_select(j, "iqr", flag, score)
+
+
+# -------------------------------------------------------------- z-score
+
+def zscore_flags(rollup: DataFrame, value_col: str = VALUE_COL,
+                 threshold: float = 2.0) -> DataFrame:
+    """|population z| > 2 per source (catch.py:186)."""
+    v = F.col(value_col).cast("double")
+    stats = rollup.groupBy("source").agg(
+        F.avg(v).alias("mu"), F.stddev_pop(v).alias("sd"))
+    j = rollup.join(F.broadcast(stats), "source")
+    z = F.when(F.col("sd") > 0, F.abs((v - F.col("mu")) / F.col("sd"))) \
+         .otherwise(F.lit(0.0))
+    return _flags_select(j, "zscore", z > threshold, z)
+
+
+# ------------------------------------------------------------------ MAD
+
+def mad_flags(rollup: DataFrame, value_col: str = VALUE_COL,
+              threshold: float = 3.5) -> DataFrame:
+    """Modified z-score 0.6745·|x-med|/MAD > 3.5 (catch.py:216-235),
+    in two native aggregation passes — no UDF (SURVEY.md A3)."""
+    v = F.col(value_col).cast("double")
+    med = rollup.groupBy("source").agg(
+        F.percentile(v, F.lit(0.5)).alias("med"))
+    j1 = rollup.join(F.broadcast(med), "source") \
+               .withColumn("absdev", F.abs(v - F.col("med")))
+    mad = j1.groupBy("source").agg(
+        F.percentile(F.col("absdev"), F.lit(0.5)).alias("mad"))
+    j2 = j1.join(F.broadcast(mad), "source")
+    score = F.when(F.col("mad") > 0,
+                   F.lit(0.6745) * F.col("absdev") / F.col("mad")) \
+             .otherwise(F.when(F.col("absdev") > 0, F.lit(1e308))
+                        .otherwise(F.lit(0.0)))
+    return _flags_select(j2, "mad", score > threshold, score)
+
+
+# --------------------------------------------------------- moving average
+
+def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
+             n_splits: int = 5) -> DataFrame:
+    """Moving-average detector with CV-optimal window, fully native.
+
+    Reference semantics (catch.py:743-947): optimal w ∈ [2,20] minimizes
+    the mean RMSE of a trailing rolling(w).mean() over 5 TimeSeriesSplit
+    test folds (rolling restarted inside each fold, min_periods=w); the
+    final flags are |z| > 2 on the w*-rolling mean of the whole series.
+    Here: 19 window aggregates in one pass + stack/argmin — SURVEY.md K9.
+    """
+    windows = list(range(2, 21))
+    v = F.col(value_col).cast("double")
+
+    w_src = Window.partitionBy("source").orderBy("bucket_ts")
+    n_w = Window.partitionBy("source")
+    base = (rollup.select("source", "bucket_ts", v.alias("v"))
+            .withColumn("idx", F.row_number().over(w_src) - 1)
+            .withColumn("n", F.count(F.lit(1)).over(n_w))
+            .withColumn("test_size", (F.col("n") / (n_splits + 1)).cast("int")))
+    # TimeSeriesSplit fold id of each row (null = never in a test fold)
+    fold_raw = F.floor((F.col("idx") - (F.col("n") - n_splits * F.col("test_size")))
+                       / F.col("test_size"))
+    base = base.withColumn(
+        "fold",
+        F.when((F.col("test_size") >= 1) & (fold_raw >= 0), fold_raw))
+
+    # per-fold trailing MAs for all candidate windows (one shuffle total:
+    # the window functions share the (source) partitioning)
+    fold_win = Window.partitionBy("source", "fold").orderBy("bucket_ts")
+    test = base.filter(F.col("fold").isNotNull())
+    ma_cols = []
+    for w in windows:
+        frame = fold_win.rowsBetween(-(w - 1), 0)
+        ma = F.when(F.count("v").over(frame) == w, F.avg("v").over(frame))
+        ma_cols.append(ma.alias(f"ma_{w}"))
+    test = test.select("source", "fold", "v", *ma_cols)
+
+    stack_expr = "stack({}, {}) as (w, ma)".format(
+        len(windows), ", ".join(f"{w}, ma_{w}" for w in windows))
+    melted = test.selectExpr("source", "fold", "v", stack_expr)
+    fold_rmse = (melted.filter(F.col("ma").isNotNull())
+                 .groupBy("source", "w", "fold")
+                 .agg(F.sqrt(F.avg(F.pow(F.col("v") - F.col("ma"), 2)))
+                      .alias("rmse")))
+    mean_rmse = fold_rmse.groupBy("source", "w").agg(F.avg("rmse").alias("mean_rmse"))
+    pick = Window.partitionBy("source").orderBy(F.col("mean_rmse").asc(),
+                                                F.col("w").asc())
+    wstar = (mean_rmse.withColumn("rk", F.row_number().over(pick))
+             .filter(F.col("rk") == 1).select("source", F.col("w").alias("wstar")))
+
+    # full-series MAs for every candidate window, picked by wstar
+    full_cols = []
+    for w in windows:
+        frame = w_src.rowsBetween(-(w - 1), 0)
+        ma = F.when(F.count("v").over(frame) == w, F.avg("v").over(frame))
+        full_cols.append(ma.alias(f"ma_{w}"))
+    full = base.select("source", "bucket_ts", "v", *full_cols) \
+               .join(F.broadcast(wstar), "source")
+    chosen = F.element_at(F.array(*[F.col(f"ma_{w}") for w in windows]),
+                          F.col("wstar").cast("int") - 1)
+    full = full.withColumn("ma", chosen)
+
+    # z-score of the MA series (NaN head skipped, population std)
+    zstats = full.groupBy("source").agg(
+        F.avg("ma").alias("mu"), F.stddev_pop("ma").alias("sd"))
+    j = full.join(F.broadcast(zstats), "source")
+    z = F.when(F.col("ma").isNull(), F.lit(None).cast("double")) \
+         .when(F.col("sd") > 0, F.abs((F.col("ma") - F.col("mu")) / F.col("sd"))) \
+         .otherwise(F.lit(0.0))
+    return _flags_select(j.withColumn("z", z), "ma",
+                         F.coalesce(F.col("z") > 2.0, F.lit(False)), F.col("z"))
+
+
+# ------------------------------------------- grouped Arrow-UDF detectors
+
+def _series_detector(method: str, period: int):
+    """Build the per-group pandas function for applyInPandas.
+
+    Each group is one source's rolled series — bounded by bucket count
+    (≤ ~10^5 points/tier), never raw rows (SURVEY.md §4.1).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import compat
+        from .stats.dispersion import mad_scores, zscore as _zs
+        from .stats.normality import monte_carlo_shapiro_pvalue
+        from .stats.stl import stl_fit
+
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        src = pdf["source"].iloc[0]
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        flags = np.zeros(n, dtype=bool)
+        score = np.zeros(n, dtype=np.float64)
+
+        def iqr_fallback():
+            from .stats.dispersion import iqr_fences
+            lo, hi = iqr_fences(x)
+            f = (x < lo) | (x > hi)
+            iqr = (hi - lo) / 3.0 if hi > lo else 1.0
+            s = np.maximum(np.maximum(lo - x, x - hi), 0.0) / iqr
+            return f, s
+
+        try:
+            if method == "iqr" or n < 2 * period + 1:
+                flags, score = iqr_fallback()
+            elif method == "stl":
+                resid = stl_fit(x, period=period,
+                                seasonal=period + (period % 2 == 0)).resid
+                _, p = monte_carlo_shapiro_pvalue(resid[~np.isnan(resid)])
+                if p > 0.05:
+                    z = np.abs(_zs(resid))
+                    flags, score = z > 2.0, z
+                else:
+                    s = mad_scores(resid)
+                    flags, score = s > 3.5, s
+            elif method == "mstl":
+                from .stats.mstl import mstl_fit
+                periods = (period, period * 7) if period >= 24 else (period,)
+                usable = tuple(p for p in periods if n > 2 * p)
+                resid = mstl_fit(x, periods=usable or (period,)).resid
+                s = mad_scores(resid)
+                flags, score = s > 3.5, s
+            elif method == "classic":
+                from .stats.decompose import seasonal_decompose
+                dec_a = seasonal_decompose(x, "additive", period=period)
+                if np.all(x > 0):
+                    dec_m = seasonal_decompose(x, "multiplicative", period=period)
+                    ra = compat.get_residuals(dec_a)
+                    rm = compat.get_residuals(dec_m)
+                    dec = dec_a if compat.get_ssacf(ra) < compat.get_ssacf(rm) \
+                        else dec_m
+                else:
+                    dec = dec_a
+                s = mad_scores(dec.resid)
+                flags, score = s > 3.5, s
+            elif method == "esd":
+                from .stats.esd import generalized_esd, seasonal_esd
+                from .stats.normality import shapiro
+                _, p = shapiro(x)
+                if p > 0.05:
+                    idx = generalized_esd(x, max_anomalies=n // 20)
+                else:
+                    idx = seasonal_esd(x, periodicity=period,
+                                       max_anomalies=n // 20, hybrid=True)
+                flags = np.zeros(n, dtype=bool)
+                flags[list(idx)] = True
+                score = flags.astype(np.float64)
+            else:
+                raise ValueError(f"unknown method {method}")
+        except Exception:
+            flags, score = iqr_fallback()
+
+        return pd.DataFrame({
+            "source": src, "bucket_ts": pdf["bucket_ts"],
+            "method": method, "is_outlier": flags,
+            "score": np.nan_to_num(score, posinf=1e308, neginf=-1e308),
+        })
+
+    return fn
+
+
+def grouped_flags(rollup: DataFrame, tier: str, method: str,
+                  value_col: str = VALUE_COL) -> DataFrame:
+    """classic/stl/mstl/esd flags via applyInPandas per source."""
+    period = TIER_PERIOD[tier]
+    src = rollup.select("source", "bucket_ts",
+                        F.col(value_col).cast("double").alias("value"))
+    return src.groupBy("source").applyInPandas(
+        _series_detector(method, period), schema=FLAG_SCHEMA)
+
+
+def all_flags(rollup: DataFrame, tier: str,
+              methods=("iqr", "zscore", "mad", "ma", "stl"),
+              value_col: str = VALUE_COL) -> DataFrame:
+    """Union of the requested detectors' flags for one tier."""
+    out = None
+    native = {"iqr": iqr_flags, "zscore": zscore_flags, "mad": mad_flags,
+              "ma": ma_flags}
+    for m in methods:
+        df = native[m](rollup, value_col) if m in native else \
+            grouped_flags(rollup, tier, m, value_col)
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -1,0 +1,123 @@
+"""Continuous aggregates: 1m/1h/1d rollup tiers over tokens_raw.
+
+Spark-first design (SURVEY.md A10, §4.2):
+  - event time is DERIVED from doc_id's sequence encoding (SURVEY.md
+    §1.4) so the stored schema stays exactly the 4-column input_hint;
+  - the 1m tier aggregates raw rows with a salted two-phase aggregation
+    (partial per (source, bucket, salt), final per (source, bucket)) so
+    one Zipf-hot source cannot pin a single reducer — the "salted
+    repartitioning by source" of the north rule;
+  - 1h re-aggregates 1m, 1d re-aggregates 1h (associative sums/counts/
+    min/max only — the ROLLUP-cascade equivalent; averages derive at read);
+  - token-derived statistics (sum of squared token ids) are computed
+    once, at the 1m tier, with higher-order array functions — the fat
+    `tokens` array is never read again above 1m (column pruning).
+
+All tier measures are integer (count/sum/min/max of int64) ⇒ rollups
+are exactly reproducible — the BASELINE "rolled-up points must match
+exactly" criterion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .synth import T0_EPOCH
+
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+TIER_ORDER = ["1m", "1h", "1d"]
+# seasonal period per tier for decomposition detectors (SURVEY.md K11:
+# fixed tiers ⇒ static period table — 1m→hourly cycle, 1h→daily, 1d→weekly)
+TIER_PERIOD = {"1m": 60, "1h": 24, "1d": 7}
+
+ROLLUP_COLUMNS = ["source", "bucket_ts", "n_docs", "sum_n_tok",
+                  "min_n_tok", "max_n_tok", "sum_tok_sq", "gap_filled"]
+
+
+def src_idx_col(source: Column = None) -> Column:
+    src = source if source is not None else F.col("source")
+    return F.substring(src, 5, 3).cast("int")
+
+
+def seq_col(doc_id: Column = None) -> Column:
+    d = doc_id if doc_id is not None else F.col("doc_id")
+    return F.substring_index(d, "-", -1).cast("long")  # last '-' field = seq
+
+
+def step_col(source: Column = None) -> Column:
+    return (F.lit(3) + F.pmod(src_idx_col(source) * F.lit(7), F.lit(43)))
+
+
+def with_event_time(raw: DataFrame) -> DataFrame:
+    """Derive event_ts deterministically from (source, doc_id) — SURVEY §1.4."""
+    seq = seq_col()
+    step = step_col()
+    return raw.withColumn(
+        "event_ts",
+        F.timestamp_seconds(F.lit(T0_EPOCH) + seq * step.cast("long")))
+
+
+def bucket_col(event_ts: Column, tier: str) -> Column:
+    secs = TIER_SECONDS[tier]
+    epoch = event_ts.cast("long")
+    return F.timestamp_seconds((epoch - F.pmod(epoch, F.lit(secs))))
+
+
+def _sum_tok_sq() -> Column:
+    """Σ token² per row via a higher-order function — no Python (F11)."""
+    return F.aggregate(
+        "tokens", F.lit(0).cast("long"),
+        lambda acc, t: acc + t.cast("long") * t.cast("long"))
+
+
+def rollup_1m(raw: DataFrame, n_salts: int = 16) -> DataFrame:
+    """tokens_raw → 1m tier with salted two-phase aggregation.
+
+    Phase 1 shuffles on (source, bucket_ts, salt) so a skewed source's
+    rows spread over n_salts reducers; phase 2 combines the (tiny)
+    partials. All measures are associative, so the result is exact.
+    """
+    df = with_event_time(raw)
+    df = (df
+          .withColumn("bucket_ts", bucket_col(F.col("event_ts"), "1m"))
+          .withColumn("tok_sq", _sum_tok_sq())
+          .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))))
+    partial = (df.groupBy("source", "bucket_ts", "salt")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+                    F.min("n_tok").alias("min_n_tok"),
+                    F.max("n_tok").alias("max_n_tok"),
+                    F.sum("tok_sq").alias("sum_tok_sq")))
+    final = (partial.groupBy("source", "bucket_ts")
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("sum_n_tok").alias("sum_n_tok"),
+                  F.min("min_n_tok").alias("min_n_tok"),
+                  F.max("max_n_tok").alias("max_n_tok"),
+                  F.sum("sum_tok_sq").alias("sum_tok_sq"))
+             .withColumn("gap_filled", F.lit(False)))
+    return final.select(*ROLLUP_COLUMNS)
+
+
+def rollup_cascade(finer: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into `tier` (1m→1h or 1h→1d).
+
+    Gap-filled zero rows are excluded so min/max stay exact.
+    """
+    src = finer.filter(~F.col("gap_filled"))
+    return (src
+            .groupBy("source", bucket_col(F.col("bucket_ts"), tier).alias("bucket_ts"))
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("sum_n_tok").alias("sum_n_tok"),
+                 F.min("min_n_tok").alias("min_n_tok"),
+                 F.max("max_n_tok").alias("max_n_tok"),
+                 F.sum("sum_tok_sq").alias("sum_tok_sq"))
+            .withColumn("gap_filled", F.lit(False))
+            .select(*ROLLUP_COLUMNS))
+
+
+def build_all_tiers(raw: DataFrame, n_salts: int = 16) -> dict[str, DataFrame]:
+    t1m = rollup_1m(raw, n_salts=n_salts)
+    t1h = rollup_cascade(t1m, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}

@@ -1,0 +1,43 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tstoken", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Arrow-enabled, AQE-enabled session.
+
+    On a real cluster these settings ride through spark-submit --conf;
+    in the sandbox we default to local[$SPARK_GRAFT_CPUS].
+    """
+    # make the tstoken package importable in executor Python workers
+    # (spark-submit --py-files equivalent for local mode)
+    src_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if src_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (src_dir + os.pathsep + existing) if existing else src_dir
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

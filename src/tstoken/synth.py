@@ -1,0 +1,194 @@
+"""Deterministic synthetic token-table generator (FIXTURES.md §A1).
+
+Generates the exact `input_hint` schema
+    (doc_id:string, tokens:array<int32>, n_tok:int32, source:string)
+entirely with native Spark expressions — spark.range + higher-order
+array functions, zero Python in the data path — so generation itself
+scales to 10^12 rows on a cluster (each executor materializes its own
+range slice; no shuffle).
+
+All randomness is replaced by explicit integer mixing (LCG-style
+constants) that is bit-reproducible in Spark SQL, NumPy and DuckDB, so
+rollup oracles can regenerate rows exactly:
+
+    seq        contiguous per source
+    event_ts   T0 + seq * step(source), step = 3 + (src_idx*7) % 43 ∈ [3,45]s
+    minute     (seq*step) // 60
+    h1         (seq*1103515245 + src_idx*2654435761 + 12345) mod 2^31
+    base       64 + h1 % 1985
+    factor     1 + 0.3 sin(2π·minute_of_day/1440) + 0.1 sin(2π·minute_of_hour/60)
+    anomaly    h2 = (minute*2654435761 + src_idx*97) mod 2^31
+               planted iff h2 % 200 == 0 (×8 spike if h2 % 400 == 0 else ×0.125)
+    gap        h3 = (minute*48271 + src_idx*131) mod 2^31; minute dropped iff
+               h3 % 100 == 0 and not anomalous
+    n_tok      max(1, floor(base · factor · mult))
+    tokens     [(1000003·(seq·131 + i) + 17) mod 50257 for i in 0..n_tok-1]
+
+`source` cardinality is Zipf-skewed with exponent 1.2 (src-000 holds
+~35-43% of rows) to exercise the salted aggregation path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+T0 = "2024-01-01 00:00:00"
+T0_EPOCH = 1704067200  # UTC
+ZIPF_EXP = 1.2
+M31 = 2147483648  # 2^31
+
+
+def source_weights(n_sources: int) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n_sources + 1, dtype=np.float64), ZIPF_EXP)
+    return w / w.sum()
+
+
+def rows_per_source(total_rows: int, n_sources: int) -> list[int]:
+    w = source_weights(n_sources)
+    counts = np.floor(total_rows * w).astype(np.int64)
+    counts[0] += total_rows - int(counts.sum())  # remainder to the hot key
+    return [int(c) for c in counts]
+
+
+def _mix_cols(src_idx, seq):
+    """The deterministic per-row mixes, as Spark Column expressions."""
+    h1 = F.pmod(seq * F.lit(1103515245) + src_idx * F.lit(2654435761) +
+                F.lit(12345), F.lit(M31))
+    return h1
+
+
+def generate_tokens_raw(spark: SparkSession, total_rows: int,
+                        n_sources: int = 8,
+                        partitions: int | None = None) -> DataFrame:
+    """The 4-column tokens_raw table, fully Spark-native."""
+    counts = rows_per_source(total_rows, n_sources)
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    parts = []
+    for src_idx, n_rows in enumerate(counts):
+        if n_rows == 0:
+            continue
+        step = 3 + (src_idx * 7) % 43
+        df = (spark.range(0, n_rows,
+                          numPartitions=max(1, min(partitions,
+                                                   n_rows // 10_000 + 1)))
+              .withColumnRenamed("id", "seq")
+              .withColumn("src_idx", F.lit(src_idx))
+              .withColumn("step", F.lit(step)))
+        parts.append(df)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+
+    seq = F.col("seq")
+    src_idx = F.col("src_idx")
+    minute = (seq * F.col("step")) / F.lit(60)
+    minute = F.floor(minute).cast("long")
+
+    h1 = _mix_cols(src_idx, seq)
+    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97), F.lit(M31))
+    h3 = F.pmod(minute * F.lit(48271) + src_idx * F.lit(131), F.lit(M31))
+
+    minute_of_day = F.pmod(minute, F.lit(1440)).cast("double")
+    minute_of_hour = F.pmod(minute, F.lit(60)).cast("double")
+    two_pi = 2.0 * float(np.pi)
+    factor = (F.lit(1.0)
+              + F.lit(0.3) * F.sin(F.lit(two_pi) * minute_of_day / F.lit(1440.0))
+              + F.lit(0.1) * F.sin(F.lit(two_pi) * minute_of_hour / F.lit(60.0)))
+
+    anomalous = F.pmod(h2, F.lit(200)) == 0
+    spike = F.pmod(h2, F.lit(400)) == 0
+    mult = F.when(anomalous & spike, F.lit(8.0)) \
+            .when(anomalous, F.lit(0.125)).otherwise(F.lit(1.0))
+    gap = (F.pmod(h3, F.lit(100)) == 0) & ~anomalous
+
+    base_tok = (F.lit(64) + F.pmod(h1, F.lit(1985))).cast("double")
+    n_tok = F.greatest(F.lit(1), F.floor(base_tok * factor * mult)).cast("int")
+
+    out = (base
+           .where(~gap)
+           .withColumn("n_tok", n_tok)
+           .withColumn("source", F.format_string("src-%03d", src_idx))
+           .withColumn("doc_id", F.format_string("src-%03d-%012d", src_idx, seq))
+           .withColumn(
+               "tokens",
+               F.transform(
+                   F.sequence(F.lit(0), F.col("n_tok") - 1),
+                   lambda i: F.pmod(F.lit(1000003) * (seq * F.lit(131) + i)
+                                    + F.lit(17), F.lit(50257)).cast("int")))
+           .select("doc_id", "tokens", "n_tok", "source"))
+    return out
+
+
+def ground_truth(spark: SparkSession, total_rows: int,
+                 n_sources: int = 8) -> DataFrame:
+    """(source, bucket_ts, kind) for every planted anomalous minute that
+    has at least one generated row — the F1 ground truth (FIXTURES.md A1)."""
+    counts = rows_per_source(total_rows, n_sources)
+    parts = []
+    for src_idx, n_rows in enumerate(counts):
+        if n_rows == 0:
+            continue
+        step = 3 + (src_idx * 7) % 43
+        max_minute = ((n_rows - 1) * step) // 60
+        df = (spark.range(0, max_minute + 1)
+              .withColumnRenamed("id", "minute")
+              .withColumn("src_idx", F.lit(src_idx)))
+        parts.append(df)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    minute = F.col("minute")
+    src_idx = F.col("src_idx")
+    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97), F.lit(M31))
+    anomalous = F.pmod(h2, F.lit(200)) == 0
+    kind = F.when(F.pmod(h2, F.lit(400)) == 0, F.lit("spike")).otherwise(F.lit("drop"))
+    return (base.where(anomalous)
+            .select(F.format_string("src-%03d", src_idx).alias("source"),
+                    F.timestamp_seconds(F.lit(T0_EPOCH) + minute * 60)
+                     .alias("bucket_ts"),
+                    kind.alias("kind")))
+
+
+def generate_tokens_raw_pandas(total_rows: int, n_sources: int = 8):
+    """NumPy/pandas oracle for the same table — used by exactness tests.
+
+    Must match generate_tokens_raw row-for-row (including token arrays).
+    """
+    import pandas as pd
+
+    counts = rows_per_source(total_rows, n_sources)
+    frames = []
+    for src_idx, n_rows in enumerate(counts):
+        if n_rows == 0:
+            continue
+        step = 3 + (src_idx * 7) % 43
+        seq = np.arange(n_rows, dtype=np.int64)
+        minute = (seq * step) // 60
+        h1 = (seq * 1103515245 + src_idx * 2654435761 + 12345) % M31
+        h2 = (minute * 2654435761 + src_idx * 97) % M31
+        h3 = (minute * 48271 + src_idx * 131) % M31
+        factor = (1.0 + 0.3 * np.sin(2 * np.pi * (minute % 1440) / 1440.0)
+                  + 0.1 * np.sin(2 * np.pi * (minute % 60) / 60.0))
+        anomalous = (h2 % 200) == 0
+        spike = (h2 % 400) == 0
+        mult = np.where(anomalous & spike, 8.0,
+                        np.where(anomalous, 0.125, 1.0))
+        gap = ((h3 % 100) == 0) & ~anomalous
+        base_tok = (64 + h1 % 1985).astype(np.float64)
+        n_tok = np.maximum(1, np.floor(base_tok * factor * mult)).astype(np.int32)
+        keep = ~gap
+        seq, n_tok = seq[keep], n_tok[keep]
+        src = f"src-{src_idx:03d}"
+        frames.append(pd.DataFrame({
+            "doc_id": [f"{src}-{s:012d}" for s in seq],
+            "tokens": [((1000003 * (s * 131 + np.arange(t, dtype=np.int64))
+                         + 17) % 50257).astype(np.int32)
+                       for s, t in zip(seq, n_tok)],
+            "n_tok": n_tok,
+            "source": src,
+            "seq": seq,
+        }))
+    return pd.concat(frames, ignore_index=True)
