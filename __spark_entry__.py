@@ -1,38 +1,626 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: tstoken (src/tstoken) — PySpark-native time-series rollup/
+downsample/retention + anomaly engine per SURVEY.md. Queries fall in
+three families:
+
+  ev_*   time-series operators on the driver's `events` table
+         (rollups, gap-fill, IQR/z-score/MAD/MA detectors, latest) —
+         all with exact DuckDB oracles;
+  doc_*/emb_*  training-data pipeline ops on `documents`/`embeddings`
+         (token counting, quality, lang-id, fingerprints, dedup,
+         Jaccard pairs, cosine top-k) — oracled where the hash/regex
+         semantics are engine-portable, rows-only for xxhash-based
+         MinHash/SimHash/LSH;
+  tok_*  the engine's own token-table path: deterministic synthetic
+         tokens_raw (FIXTURES.md A1, fixed 30k rows) → salted 1m/1h
+         rollups → fences/decomposition flags. The synth is pure
+         integer mixing + sin, so the rollup oracles REGENERATE the
+         table inside DuckDB SQL and must match exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOK_ROWS = 30_000
+TOK_SOURCES = 4
+
+EN_STOP = "'the','a','and','of','to','in','is','it','that','was'"
+LANG_STOP = {
+    "de": "'der','die','das','und','ist','von','ein','eine','zu','den'",
+    "en": EN_STOP,
+    "es": "'el','la','de','que','y','en','un','una','es','los'",
+    "fr": "'le','la','de','et','les','des','en','un','une','est'",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ev_rollup(spark, sf_dir, unit: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.col("event_type").alias("source"),
+                      F.date_trunc(unit, "ts").alias("bucket_ts"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def _ev_hourly_counts(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.col("event_type").alias("source"),
+                      F.date_trunc("hour", "ts").alias("bucket_ts"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def _ev_gapfill(spark, sf_dir) -> DataFrame:
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    bounds = hourly.groupBy("source").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+    spine = bounds.select(
+        "source",
+        F.explode(F.sequence(F.col("lo").cast("long"),
+                             F.col("hi").cast("long"),
+                             F.lit(3600))).alias("epoch")) \
+        .select("source", F.timestamp_seconds("epoch").alias("bucket_ts"))
+    j = spine.join(hourly, ["source", "bucket_ts"], "left")
+    return j.select("source", "bucket_ts",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.col("n_events").isNull().alias("gap_filled"))
+
+
+def _ev_iqr(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import iqr_flags
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    fl = iqr_flags(hourly, value_col="n_events")
+    return (fl.join(hourly, ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "n_events", "is_outlier"))
+
+
+def _ev_zscore(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import zscore_flags
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    fl = zscore_flags(hourly, value_col="n_events")
+    return (fl.join(hourly, ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "n_events", "is_outlier",
+                    F.round("score", 4).alias("z")))
+
+
+def _ev_mad(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import mad_flags
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    fl = mad_flags(hourly, value_col="n_events")
+    return (fl.join(hourly, ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "n_events", "is_outlier",
+                    F.round("score", 6).alias("mscore")))
+
+
+def _ev_ma7(spark, sf_dir) -> DataFrame:
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("bucket_ts").rowsBetween(-6, 0)
+    ma = F.when(F.count("n_events").over(w) == 7,
+                F.avg("n_events").over(w))
+    return hourly.select("source", "bucket_ts", "n_events",
+                         F.round(ma, 6).alias("ma7"))
+
+
+def _ev_latest_outlier(spark, sf_dir) -> DataFrame:
+    flagged = _ev_iqr(spark, sf_dir).filter("is_outlier")
+    w = Window.partitionBy("source").orderBy(F.col("bucket_ts").desc())
+    return (flagged.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("source", "bucket_ts", "n_events"))
+
+
+def _ev_optimal_window(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import optimal_window
+    hourly = _ev_hourly_counts(spark, sf_dir)
+    return optimal_window(hourly, value_col="n_events") \
+        .select("source", F.col("wstar").cast("long").alias("wstar"))
+
+
+def _ev_exact_dedup(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.select(F.md5("props").alias("props_md5"), "event_id")
+            .groupBy("props_md5")
+            .agg(F.min("event_id").alias("keep_event_id"),
+                 F.count(F.lit(1)).alias("n_dupes"))
+            .filter(F.col("n_dupes") > 1))
+
+
+def _doc_token_counts(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import token_count
+    d = token_count(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id",
+                    F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                    F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                    F.col("n_chars_calc").cast("long").alias("n_chars_calc"))
+
+
+def _doc_quality(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import quality_score
+    d = quality_score(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                    "mean_word_len", "punct_ratio", "stop_ratio", "quality")
+
+
+def _doc_langid(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import detect_language
+    d = detect_language(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang", "lang_pred",
+                    F.col("stopword_hits").cast("long").alias("stopword_hits"))
+
+
+def _doc_fingerprint(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import fingerprint
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "md5")
+
+
+def _doc_rolling_hash(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import fingerprint
+    return fingerprint(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "rolling_hash")
+
+
+def _doc_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def _doc_minhash(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import minhash_dup_pairs
+    return minhash_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _doc_simhash(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import simhash_dup_pairs
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _emb_queries(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.withColumn("embedding", dbl)
+
+
+def _emb_cosine_topk(spark, sf_dir) -> DataFrame:
+    from tstoken.simsearch import cosine_topk
+    e = _emb_queries(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    r = cosine_topk(e.select("vec_id", "embedding"), q, k=5)
+    return r.select("qid", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+
+
+def _emb_lsh_topk(spark, sf_dir) -> DataFrame:
+    from tstoken.simsearch import lsh_topk
+    e = _emb_queries(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    r = lsh_topk(e.select("vec_id", "embedding"), q, dim=64, k=5)
+    return r.select("qid", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+
+
+# -------------------------------------------------- token-engine queries
+
+def _tok_raw(spark) -> DataFrame:
+    from tstoken.synth import generate_tokens_raw
+    return generate_tokens_raw(spark, TOK_ROWS, n_sources=TOK_SOURCES)
+
+
+def _tok_rollup_1m(spark, sf_dir) -> DataFrame:
+    from tstoken.rollup import rollup_1m
+    return rollup_1m(_tok_raw(spark)).drop("gap_filled")
+
+
+def _tok_rollup_1h(spark, sf_dir) -> DataFrame:
+    from tstoken.rollup import rollup_1m, rollup_cascade
+    return rollup_cascade(rollup_1m(_tok_raw(spark)), "1h").drop("gap_filled")
+
+
+def _tok_gapfill_1m(spark, sf_dir) -> DataFrame:
+    from tstoken.gapfill import gap_fill
+    from tstoken.rollup import rollup_1m
+    gf = gap_fill(rollup_1m(_tok_raw(spark)), "1m")
+    return gf.select("source", "bucket_ts", "n_docs", "sum_n_tok", "gap_filled")
+
+
+def _tok_iqr_flags(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import iqr_flags
+    from tstoken.rollup import rollup_1m
+    t1m = rollup_1m(_tok_raw(spark))
+    fl = iqr_flags(t1m)
+    return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
+                    ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "sum_n_tok", "is_outlier"))
+
+
+def _tok_grouped(method):
+    def q(spark, sf_dir) -> DataFrame:
+        from tstoken.detect import grouped_flags
+        from tstoken.gapfill import gap_fill
+        from tstoken.rollup import rollup_1m
+        gf = gap_fill(rollup_1m(_tok_raw(spark)), "1m")
+        fl = grouped_flags(gf, "1m", method)
+        return fl.select("source", "bucket_ts", "method", "is_outlier")
+    return q
+
+
+def _tok_ma_flags(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import ma_flags
+    from tstoken.gapfill import gap_fill
+    from tstoken.rollup import rollup_1m
+    gf = gap_fill(rollup_1m(_tok_raw(spark)), "1m")
+    return ma_flags(gf).select("source", "bucket_ts", "method", "is_outlier")
+
+
+def _tok_compress(spark, sf_dir) -> DataFrame:
+    from tstoken.compress import compress_tier
+    from tstoken.rollup import rollup_1m
+    blocks = compress_tier(rollup_1m(_tok_raw(spark)))
+    return blocks.select("source", "chunk", "n_points", "codec",
+                         F.length("ts_block").alias("ts_bytes"),
+                         F.length("val_block").alias("val_bytes"))
+
+
+def _media_features(spark, sf_dir) -> DataFrame:
+    from tstoken.multimodal import extract_features, synth_media
+    feats = extract_features(synth_media(spark, 200))
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hourly rollup of events + gap-fill + IQR flags at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    from tstoken.detect import iqr_flags
+    gf = _ev_gapfill(spark, sf_dir)
+    fl = iqr_flags(gf, value_col="n_events")
+    return (fl.join(gf, ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "n_events", "gap_filled",
+                    "is_outlier"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "ev_rollup_1m": lambda s, d: _ev_rollup(s, d, "minute"),
+        "ev_rollup_1h": lambda s, d: _ev_rollup(s, d, "hour"),
+        "ev_rollup_1d": lambda s, d: _ev_rollup(s, d, "day"),
+        "ev_gapfill_1h": _ev_gapfill,
+        "ev_iqr_flags_1h": _ev_iqr,
+        "ev_zscore_flags_1h": _ev_zscore,
+        "ev_mad_flags_1h": _ev_mad,
+        "ev_ma7_1h": _ev_ma7,
+        "ev_latest_outlier": _ev_latest_outlier,
+        "ev_optimal_window": _ev_optimal_window,
+        "ev_exact_dedup": _ev_exact_dedup,
+        "doc_token_counts": _doc_token_counts,
+        "doc_quality": _doc_quality,
+        "doc_langid": _doc_langid,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_rolling_hash": _doc_rolling_hash,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_minhash_pairs": _doc_minhash,
+        "doc_simhash_pairs": _doc_simhash,
+        "emb_cosine_topk": _emb_cosine_topk,
+        "emb_lsh_topk": _emb_lsh_topk,
+        "tok_rollup_1m": _tok_rollup_1m,
+        "tok_rollup_1h": _tok_rollup_1h,
+        "tok_gapfill_1m": _tok_gapfill_1m,
+        "tok_iqr_flags": _tok_iqr_flags,
+        "tok_stl_flags": _tok_grouped("stl"),
+        "tok_classic_flags": _tok_grouped("classic"),
+        "tok_mstl_flags": _tok_grouped("mstl"),
+        "tok_esd_flags": _tok_grouped("esd"),
+        "tok_ma_flags": _tok_ma_flags,
+        "tok_compress_blocks": _tok_compress,
+        "media_features": _media_features,
+    }
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles
+
+def _tok_cte() -> str:
+    """DuckDB CTE regenerating the synthetic token table's scalar
+    columns (doc-level) — exact integer mixing per tstoken.synth."""
+    from tstoken.synth import rows_per_source
+    counts = rows_per_source(TOK_ROWS, TOK_SOURCES)
+    vals = ", ".join(
+        f"({i}, {n}, {3 + (i * 7) % 43})" for i, n in enumerate(counts))
+    return f"""
+params(src_idx, n_rows, step) AS (VALUES {vals}),
+seqs AS (
+  SELECT p.src_idx, p.step, u.seq
+  FROM params p, unnest(generate_series(0, p.n_rows - 1)) u(seq)
+),
+mixed AS (
+  SELECT src_idx, step, seq,
+    (seq * step) // 60 AS minute,
+    (seq * 1103515245 + src_idx * 2654435761 + 12345) % 2147483648 AS h1,
+    (((seq * step) // 60) * 2654435761 + src_idx * 97) % 2147483648 AS h2,
+    (((seq * step) // 60) * 48271 + src_idx * 131) % 2147483648 AS h3
+  FROM seqs
+),
+docs_tok AS (
+  SELECT src_idx, seq, minute,
+    GREATEST(1, floor(
+      (64 + h1 % 1985)::DOUBLE
+      * (1.0 + 0.3 * sin(2 * pi() * (minute % 1440) / 1440.0)
+             + 0.1 * sin(2 * pi() * (minute % 60) / 60.0))
+      * (CASE WHEN h2 % 200 = 0 AND h2 % 400 = 0 THEN 8.0
+              WHEN h2 % 200 = 0 THEN 0.125 ELSE 1.0 END)))::INT AS n_tok
+  FROM mixed
+  WHERE NOT (h3 % 100 = 0 AND h2 % 200 <> 0)
+),
+tok1m AS (
+  SELECT printf('src-%03d', src_idx) AS source,
+    TIMESTAMP '2024-01-01 00:00:00' + (minute * 60) * INTERVAL 1 SECOND
+      AS bucket_ts,
+    count(*) AS n_docs,
+    sum(n_tok::BIGINT) AS sum_n_tok,
+    min(n_tok) AS min_n_tok,
+    max(n_tok) AS max_n_tok,
+    sum((SELECT sum(((1000003 * (seq * 131 + u.i) + 17) % 50257)
+               * ((1000003 * (seq * 131 + u.i) + 17) % 50257))
+         FROM unnest(generate_series(0, n_tok - 1)) u(i))) AS sum_tok_sq
+  FROM docs_tok GROUP BY 1, 2
+)"""
+
+
+def _words_sql(col: str = "text") -> str:
+    return (f"list_filter(regexp_split_to_array(lower({col}), "
+            f"'[^a-z0-9]+'), x -> x <> '')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev_rollup = """
+SELECT event_type AS source, date_trunc('{unit}', ts) AS bucket_ts,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2"""
+
+    hourly = ("SELECT event_type AS source, date_trunc('hour', ts) AS "
+              "bucket_ts, count(*) AS n_events FROM events GROUP BY 1, 2")
+
+    gapfill = f"""
+WITH hourly AS ({hourly}),
+b AS (SELECT source, min(bucket_ts) lo, max(bucket_ts) hi FROM hourly GROUP BY 1),
+spine AS (SELECT b.source, u.bucket_ts
+          FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) u(bucket_ts))
+SELECT s.source, s.bucket_ts, coalesce(h.n_events, 0) AS n_events,
+       h.n_events IS NULL AS gap_filled
+FROM spine s LEFT JOIN hourly h ON s.source = h.source AND s.bucket_ts = h.bucket_ts"""
+
+    iqr = f"""
+WITH hourly AS ({hourly}),
+f AS (SELECT source, quantile_cont(n_events, 0.25) q1,
+             quantile_cont(n_events, 0.75) q3 FROM hourly GROUP BY 1)
+SELECT h.source, h.bucket_ts, h.n_events,
+  (h.n_events < f.q1 - 1.5 * (f.q3 - f.q1)
+   OR h.n_events > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+FROM hourly h JOIN f ON h.source = f.source"""
+
+    zscore = f"""
+WITH hourly AS ({hourly}),
+s AS (SELECT source, avg(n_events) mu, stddev_pop(n_events) sd
+      FROM hourly GROUP BY 1)
+SELECT h.source, h.bucket_ts, h.n_events,
+  CASE WHEN s.sd > 0 THEN abs((h.n_events - s.mu) / s.sd) > 2.0
+       ELSE FALSE END AS is_outlier,
+  round(CASE WHEN s.sd > 0 THEN abs((h.n_events - s.mu) / s.sd)
+        ELSE 0.0 END, 4) AS z
+FROM hourly h JOIN s ON h.source = s.source"""
+
+    mad = f"""
+WITH hourly AS ({hourly}),
+m AS (SELECT source, quantile_cont(n_events, 0.5) med FROM hourly GROUP BY 1),
+d AS (SELECT h.source, h.bucket_ts, h.n_events,
+             abs(h.n_events - m.med) AS absdev
+      FROM hourly h JOIN m ON h.source = m.source),
+md AS (SELECT source, quantile_cont(absdev, 0.5) mad FROM d GROUP BY 1)
+SELECT d.source, d.bucket_ts, d.n_events,
+  (CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END) > 3.5 AS is_outlier,
+  round(CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END, 6) AS mscore
+FROM d JOIN md ON d.source = md.source"""
+
+    ma7 = f"""
+WITH hourly AS ({hourly})
+SELECT source, bucket_ts, n_events,
+  round(CASE WHEN count(*) OVER w = 7 THEN avg(n_events) OVER w END, 6) AS ma7
+FROM hourly
+WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+    latest = f"""
+WITH flagged AS (
+  {iqr.replace('SELECT h.source', 'SELECT h.source', 1)}
+)
+SELECT source, bucket_ts, n_events FROM (
+  SELECT source, bucket_ts, n_events,
+    row_number() OVER (PARTITION BY source ORDER BY bucket_ts DESC) rk
+  FROM flagged WHERE is_outlier)
+WHERE rk = 1"""
+
+    optwin = f"""
+WITH base AS (SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                     count(*)::DOUBLE AS v FROM events GROUP BY 1, 2),
+idx AS (SELECT source, v,
+          (row_number() OVER (PARTITION BY source ORDER BY bucket_ts) - 1) AS idx,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM base),
+folds AS (SELECT source, v, idx, (n // 6) AS tsz, (n - 5 * (n // 6)) AS strt
+          FROM idx),
+test AS (SELECT source, v, ((idx - strt) // tsz) AS fold,
+           row_number() OVER (PARTITION BY source, ((idx - strt) // tsz)
+                              ORDER BY idx) - 1 AS pos
+         FROM folds WHERE tsz >= 1 AND idx >= strt),
+ws AS (SELECT unnest(generate_series(2, 20)) AS w),
+ma AS (SELECT a.source, a.fold, w.w, a.pos, a.v,
+              avg(b.v) AS mav, count(*) AS cnt
+       FROM ws w CROSS JOIN test a JOIN test b
+         ON a.source = b.source AND a.fold = b.fold
+        AND b.pos BETWEEN a.pos - (w.w - 1) AND a.pos
+       GROUP BY 1, 2, 3, 4, 5),
+rmse AS (SELECT source, w, fold, sqrt(avg((v - mav) * (v - mav))) AS r
+         FROM ma WHERE cnt = w GROUP BY 1, 2, 3),
+meanr AS (SELECT source, w, avg(r) AS mr FROM rmse GROUP BY 1, 2)
+SELECT source, w AS wstar FROM (
+  SELECT source, w,
+    row_number() OVER (PARTITION BY source ORDER BY mr ASC, w ASC) rk
+  FROM meanr) WHERE rk = 1"""
+
+    dedup = """
+SELECT md5(props) AS props_md5, min(event_id) AS keep_event_id,
+       count(*) AS n_dupes
+FROM events GROUP BY 1 HAVING count(*) > 1"""
+
+    tokc = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+  length(text) AS n_chars_calc
+FROM documents"""
+
+    wexpr = _words_sql()
+    punct = "'[.,;:!?''\"()\\[\\]{}-]'"
+    quality = f"""
+WITH w AS (SELECT doc_id, text, {wexpr} AS words FROM documents),
+feat AS (SELECT doc_id,
+  len(words) AS n_words,
+  CASE WHEN len(words) > 0 THEN
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / len(words)
+    ELSE 0.0 END AS mwl,
+  CASE WHEN length(text) > 0 THEN
+    len(regexp_extract_all(text, {punct}))::DOUBLE / length(text)
+    ELSE 0.0 END AS pr,
+  CASE WHEN len(words) > 0 THEN
+    len(list_filter(words, x -> list_contains([{EN_STOP}], x)))::DOUBLE
+      / len(words)
+    ELSE 0.0 END AS sr
+ FROM w)
+SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+  round(pr, 4) AS punct_ratio, round(sr, 4) AS stop_ratio,
+  round(least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.4
+        + (1.0 - least(pr * 10.0, 1.0)) * 0.2, 4) AS quality
+FROM feat"""
+
+    hit_exprs = ",\n  ".join(
+        f"len(list_filter(words, x -> list_contains([{LANG_STOP[lang]}], x)))"
+        f" AS h_{lang}" for lang in sorted(LANG_STOP))
+    langid = f"""
+WITH w AS (SELECT doc_id, lang, {wexpr} AS words FROM documents),
+h AS (SELECT doc_id, lang,
+  {hit_exprs}
+ FROM w)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  greatest(h_de, h_en, h_es, h_fr) AS stopword_hits
+FROM h"""
+
+    fp = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+    jaccard = f"""
+WITH base AS (SELECT doc_id, source, (length(text) // 16) AS lb,
+                     list_distinct({wexpr}) AS wset
+              FROM documents),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.wset, b.wset))::DOUBLE AS inter,
+    (len(a.wset) + len(b.wset))::DOUBLE AS tot
+  FROM base a JOIN base b
+    ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+          ELSE 0.0 END, 6) AS jaccard
+  FROM pairs) WHERE jaccard >= 0.4"""
+
+    cosine = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 20),
+s AS (SELECT q.qid, e.vec_id,
+        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
+          AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s) WHERE rank <= 5"""
+
+    tok_cte = _tok_cte()
+    tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
+    tok_1h = f"""WITH {tok_cte}
+SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
+  sum(n_docs) AS n_docs, sum(sum_n_tok) AS sum_n_tok,
+  min(min_n_tok) AS min_n_tok, max(max_n_tok) AS max_n_tok,
+  sum(sum_tok_sq) AS sum_tok_sq
+FROM tok1m GROUP BY 1, 2"""
+    tok_gap = f"""WITH {tok_cte},
+b AS (SELECT source, min(bucket_ts) lo, max(bucket_ts) hi FROM tok1m GROUP BY 1),
+spine AS (SELECT b.source, u.bucket_ts
+          FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) u(bucket_ts))
+SELECT s.source, s.bucket_ts, coalesce(t.n_docs, 0) AS n_docs,
+  coalesce(t.sum_n_tok, 0) AS sum_n_tok, t.n_docs IS NULL AS gap_filled
+FROM spine s LEFT JOIN tok1m t
+  ON s.source = t.source AND s.bucket_ts = t.bucket_ts"""
+    tok_iqr = f"""WITH {tok_cte},
+f AS (SELECT source, quantile_cont(sum_n_tok, 0.25) q1,
+             quantile_cont(sum_n_tok, 0.75) q3 FROM tok1m GROUP BY 1)
+SELECT t.source, t.bucket_ts, t.sum_n_tok,
+  (t.sum_n_tok < f.q1 - 1.5 * (f.q3 - f.q1)
+   OR t.sum_n_tok > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+FROM tok1m t JOIN f ON t.source = f.source"""
+
+    return {
+        "ev_rollup_1m": ev_rollup.format(unit="minute"),
+        "ev_rollup_1h": ev_rollup.format(unit="hour"),
+        "ev_rollup_1d": ev_rollup.format(unit="day"),
+        "ev_gapfill_1h": gapfill,
+        "ev_iqr_flags_1h": iqr,
+        "ev_zscore_flags_1h": zscore,
+        "ev_mad_flags_1h": mad,
+        "ev_ma7_1h": ma7,
+        "ev_latest_outlier": latest,
+        "ev_optimal_window": optwin,
+        "ev_exact_dedup": dedup,
+        "doc_token_counts": tokc,
+        "doc_quality": quality,
+        "doc_langid": langid,
+        "doc_fingerprint": fp,
+        "doc_ngram_jaccard": jaccard,
+        "emb_cosine_topk": cosine,
+        "tok_rollup_1m": tok_1m,
+        "tok_rollup_1h": tok_1h,
+        "tok_gapfill_1m": tok_gap,
+        "tok_iqr_flags": tok_iqr,
+        # rows-only (non-SQL-expressible: xxhash64-based LSH, STL/MSTL/
+        # ESD decomposition, Gorilla codec, mapInPandas media stubs,
+        # 61-bit modular rolling hash):
+        # doc_rolling_hash, doc_minhash_pairs, doc_simhash_pairs,
+        # emb_lsh_topk, tok_stl_flags, tok_classic_flags, tok_mstl_flags,
+        # tok_esd_flags, tok_ma_flags, tok_compress_blocks, media_features
+    }

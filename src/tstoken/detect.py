@@ -99,19 +99,11 @@ def mad_flags(rollup: DataFrame, value_col: str = VALUE_COL,
 
 # --------------------------------------------------------- moving average
 
-def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
-             n_splits: int = 5) -> DataFrame:
-    """Moving-average detector with CV-optimal window, fully native.
+_MA_WINDOWS = list(range(2, 21))
 
-    Reference semantics (catch.py:743-947): optimal w ∈ [2,20] minimizes
-    the mean RMSE of a trailing rolling(w).mean() over 5 TimeSeriesSplit
-    test folds (rolling restarted inside each fold, min_periods=w); the
-    final flags are |z| > 2 on the w*-rolling mean of the whole series.
-    Here: 19 window aggregates in one pass + stack/argmin — SURVEY.md K9.
-    """
-    windows = list(range(2, 21))
+
+def _ma_base(rollup: DataFrame, value_col: str, n_splits: int) -> DataFrame:
     v = F.col(value_col).cast("double")
-
     w_src = Window.partitionBy("source").orderBy("bucket_ts")
     n_w = Window.partitionBy("source")
     base = (rollup.select("source", "bucket_ts", v.alias("v"))
@@ -121,10 +113,19 @@ def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
     # TimeSeriesSplit fold id of each row (null = never in a test fold)
     fold_raw = F.floor((F.col("idx") - (F.col("n") - n_splits * F.col("test_size")))
                        / F.col("test_size"))
-    base = base.withColumn(
+    return base.withColumn(
         "fold",
         F.when((F.col("test_size") >= 1) & (fold_raw >= 0), fold_raw))
 
+
+def optimal_window(rollup: DataFrame, value_col: str = VALUE_COL,
+                   n_splits: int = 5) -> DataFrame:
+    """(source, wstar): CV-optimal MA window, fully native (SURVEY.md K9:
+    19 window aggregates in one pass + stack + argmin, no UDF, no
+    driver loop — the reference's 19×5-fold pandas search collapsed
+    into one shuffle)."""
+    windows = _MA_WINDOWS
+    base = _ma_base(rollup, value_col, n_splits)
     # per-fold trailing MAs for all candidate windows (one shuffle total:
     # the window functions share the (source) partitioning)
     fold_win = Window.partitionBy("source", "fold").orderBy("bucket_ts")
@@ -146,8 +147,23 @@ def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
     mean_rmse = fold_rmse.groupBy("source", "w").agg(F.avg("rmse").alias("mean_rmse"))
     pick = Window.partitionBy("source").orderBy(F.col("mean_rmse").asc(),
                                                 F.col("w").asc())
-    wstar = (mean_rmse.withColumn("rk", F.row_number().over(pick))
-             .filter(F.col("rk") == 1).select("source", F.col("w").alias("wstar")))
+    return (mean_rmse.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1).select("source", F.col("w").alias("wstar")))
+
+
+def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
+             n_splits: int = 5) -> DataFrame:
+    """Moving-average detector with CV-optimal window, fully native.
+
+    Reference semantics (catch.py:743-947): optimal w ∈ [2,20] minimizes
+    the mean RMSE of a trailing rolling(w).mean() over 5 TimeSeriesSplit
+    test folds (rolling restarted inside each fold, min_periods=w); the
+    final flags are |z| > 2 on the w*-rolling mean of the whole series.
+    """
+    windows = _MA_WINDOWS
+    w_src = Window.partitionBy("source").orderBy("bucket_ts")
+    base = _ma_base(rollup, value_col, n_splits)
+    wstar = optimal_window(rollup, value_col, n_splits)
 
     # full-series MAs for every candidate window, picked by wstar
     full_cols = []

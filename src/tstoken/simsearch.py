@@ -1,0 +1,102 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+  - cosine_topk: brute-force cosine top-k, dot products via zip_with /
+    aggregate higher-order functions (JVM-side, no Python). The small
+    query side is broadcast; the corpus is scanned once. This is the
+    exactness baseline and the DuckDB-oracle-checkable path.
+  - lsh_topk: random-hyperplane LSH buckets (sign of dot with seeded
+    deterministic hyperplanes) → candidates share a bucket → exact
+    re-rank within candidates. The 100TB path: candidate generation is
+    an equi-join on (plane-set, bucket signature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "qvec",
+                b_col: str = "embedding") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    denom = _norm(a) * _norm(b)
+    cos = F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+    return pairs.withColumn("cosine", F.round(cos, 6))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    queries: (qid, qvec). The query side is broadcast; the corpus scan
+    is a single pass with no shuffle until the final per-query top-k
+    (window over qid).
+    """
+    from pyspark.sql import Window
+
+    cross = emb.crossJoin(F.broadcast(queries)) \
+               .filter(F.col("vec_id") != F.col("qid"))
+    scored = with_cosine(cross)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(df: DataFrame, vec_col: str, dim: int,
+                  n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Random-hyperplane signature as a long (bit i = sign of dot with
+    plane i). Planes are deterministic literals — identical on every
+    executor, no broadcast needed."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        d = _dot(F.col(vec_col), plane)
+        bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i))
+                     .otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return df.withColumn("lsh_sig", sig)
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 8, n_tables: int = 8) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any of
+    n_tables LSH signatures with the query, re-ranked exactly."""
+    from pyspark.sql import Window
+
+    cands = None
+    for t in range(n_tables):
+        e = lsh_signature(emb, "embedding", dim, n_planes, seed=42 + t) \
+            .select("vec_id", "embedding", "lsh_sig")
+        q = lsh_signature(queries, "qvec", dim, n_planes, seed=42 + t) \
+            .select("qid", "qvec", "lsh_sig")
+        c = e.join(F.broadcast(q), "lsh_sig") \
+             .filter(F.col("vec_id") != F.col("qid")) \
+             .select("qid", "qvec", "vec_id", "embedding")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["qid", "vec_id"])
+    scored = with_cosine(cands)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))

@@ -1,0 +1,273 @@
+"""Training-data pipeline text operators over the `documents` table.
+
+All hot paths are native pyspark.sql expressions / higher-order array
+functions (JVM codegen); only MinHash banding uses xxhash64 (still
+native). Designed so the simple operators have exact DuckDB oracles
+(ASCII-only regexes to dodge regex-dialect divergence) while the
+hash-based ones (minhash/simhash) are Spark-native-only.
+
+Operators:
+  - token_count / bpe_token_count     whitespace + BPE-ish regex counting
+  - quality_score                     length/punct/stopword ratio scoring
+  - detect_language                   stopword-hit n-gram heuristic
+  - fingerprint                       md5 + Karp-Rabin rolling hash
+  - exact_dedup                       hash-groupBy, keep min doc_id
+  - ngram_jaccard_pairs               blocked pairwise word-set Jaccard
+  - minhash_signatures / minhash_dup_pairs   MinHash + LSH band join
+  - simhash / simhash_dup_pairs       64-bit SimHash + hamming verify
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"],
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    """Lower-cased ASCII word tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+        lambda w: w != F.lit(""))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (SURVEY brief)."""
+    ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+          .otherwise(F.size(F.split(F.trim(F.col("text")), "\\s+")))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (SURVEY brief)."""
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(_words()).cast("double")
+    n_punct = F.regexp_count("text", F.lit(PUNCT_RE)).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(_words(),
+                             lambda w: F.array_contains(stop_arr, w))).cast("double")
+    mean_word_len = F.when(n_words > 0, (F.length(F.regexp_replace(
+        F.col("text"), "[^A-Za-z0-9]", "")) / n_words)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+             + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+             + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2)
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"))
+
+
+def detect_language(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic; 'und' (undetermined) when no
+    language scores a hit. Deterministic tie-break by language code."""
+    words = _words()
+    def _hit_counter(stop_list):
+        arr = F.array(*[F.lit(w) for w in stop_list])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        hits = _hit_counter(STOPWORDS[lang])
+        hit_cols.append(F.struct(hits.alias("hits"),
+                                 F.lit(lang).alias("lang")))
+    # argmax by (hits, then lexicographically-last lang loses): sort the
+    # struct array descending and take the head
+    best = F.sort_array(F.array(*hit_cols), asc=False)[0]
+    return docs.select(
+        "doc_id", "lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+         .alias("lang_pred"),
+        best["hits"].cast("int").alias("stopword_hits"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """md5 fingerprint + 31-bit Karp-Rabin rolling hash of word tokens.
+
+    The rolling hash folds the word array with a higher-order aggregate
+    (no Python): h = Σ h*B + word value (mod 2^31-1, Mersenne); word
+    value = polynomial char hash. Entirely JVM-side; the modulus keeps
+    every intermediate product < 2^52, safe under ANSI overflow checks.
+    """
+    MOD = (1 << 31) - 1
+    B = 1000003
+
+    def word_val(w):
+        # polynomial char hash of one word (ASCII codepoints)
+        return F.aggregate(
+            F.split(w, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * F.lit(131) + F.coalesce(
+                F.ascii(ch).cast("long"), F.lit(0)), F.lit(MOD)))
+
+    rolling = F.aggregate(
+        _words(), F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(B) + word_val(w), F.lit(MOD)))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5"),
+        rolling.alias("rolling_hash"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by text hash; keeps min doc_id as canonical.
+
+    At 100TB scale the md5 groupBy shuffles only (hash, doc_id) — the
+    text column is dropped before the exchange.
+    """
+    h = docs.select(F.md5("text").alias("text_md5"), "doc_id")
+    return (h.groupBy("text_md5")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_dupes"))
+            .filter(F.col("n_dupes") > 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
+                        length_band: int = 16) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard, blocked by (source,
+    length-band) so the join is an equi-join, not a cross product."""
+    base = docs.select(
+        "doc_id", "source",
+        (F.length("text") / length_band).cast("int").alias("lb"),
+        F.array_distinct(_words()).alias("wset"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, (F.col("a.source") == F.col("b.source")) &
+                   (F.col("a.lb") == F.col("b.lb")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+    inter = F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
+    union = (F.size("a.wset") + F.size("b.wset")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (pairs.select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"),
+                         F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------------------- MinHash
+
+def _shingles(col="text", k: int = 5) -> F.Column:
+    """Character k-shingles of the lower-cased text (distinct)."""
+    t = F.lower(F.col(col))
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    xxhash64(shingle, seed_j). Higher-order functions only."""
+    sh = docs.select("doc_id", _shingles().alias("sh"))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            "sh", lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        for j in range(num_hashes)])
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 64,
+                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+    """LSH: band signatures → bucket equi-join → verified Jaccard.
+
+    shingle→minhash→band→bucket-join per the brief; the band join is an
+    equi-join on (band_id, band_hash) so Catalyst shuffles candidates
+    only, never the full cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]).alias("bh"))
+            for b in range(bands)])).alias("bs")) \
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (a.join(b, ["band", "bh"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # verify candidates with true shingle Jaccard
+    sh = docs.select("doc_id", _shingles().alias("sh"))
+    v = (cand
+         .join(sh.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("sh", "sh_a"), "doc_a")
+         .join(sh.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (v.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over word tokens, via bit-vote aggregation in
+    higher-order functions (no Python, no UDF)."""
+    words = _words()
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # votes[i] = Σ over words of (bit i set ? +1 : -1); shift amounts
+    # must be static ints, so the 64 bit positions unroll at plan time
+    def _vote_fn(bit):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(i))
+        sh = sh.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return docs.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
+    16-bit chunks (a pair within distance 3 shares ≥1 of 4 chunks; wider
+    distances use more chunks — classic SimHash blocking)."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("ch"))
+            for c in range(4)])).alias("cc")) \
+        .select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"),
+                F.col("cc.ch").alias("ch"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, ["chunk", "ch"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
