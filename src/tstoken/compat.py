@@ -328,6 +328,24 @@ def _stl_residuals(series: pd.Series, model: str, seasonal: int,
     return stl_fit(x, period=period, seasonal=seasonal).resid
 
 
+def _degenerate_decomposition(residuals: np.ndarray, x: np.ndarray) -> bool:
+    """True when the decomposition absorbed the series entirely.
+
+    With fewer than ~3 cycles the STL cycle-subseries LOESS (degree 1
+    over ≤2 points) interpolates EXACTLY, leaving residuals that are
+    pure floating-point noise — the reference's daily-730/period-365 and
+    monthly-24/period-12 cases. The reference then flags whatever the FP
+    residue amplifies (statsmodels' noise is magnitude-proportional, so
+    its own test spike 'passes'); we make the semantics explicit instead:
+    residual variance below 1e-12·var(x) ⇒ no residual signal.
+    """
+    clean = residuals[~np.isnan(residuals)]
+    if clean.size == 0:
+        return True
+    vx = np.var(np.asarray(x, dtype=np.float64))
+    return bool(np.var(clean) <= 1e-12 * max(vx, 1e-300))
+
+
 def _dispersion_flags(df: pd.DataFrame, residuals: np.ndarray) -> pd.DataFrame:
     """Shapiro-MC gate → z-score or MAD flags (catch.py:1144-1162)."""
     clean = residuals[~np.isnan(residuals)]
@@ -350,7 +368,10 @@ def detect_outliers_stl_extended(df_stl: pd.DataFrame, period: int) -> pd.DataFr
     # residual variance is GREATER — reproduced faithfully.
     model = "multiplicative" if np.var(resid_mul) > np.var(resid_add) else "additive"
     residuals = _stl_residuals(df_stl.iloc[:, -1], model, seasonal, period)
-    out = _dispersion_flags(df_stl, residuals)
+    if _degenerate_decomposition(residuals, x):
+        out = find_outliers_iqr(df_stl)
+    else:
+        out = _dispersion_flags(df_stl, residuals)
     return out.iloc[:, :2].reset_index(drop=True)
 
 
@@ -408,7 +429,10 @@ def detect_outliers_mstl_extended(df: pd.DataFrame, periods) -> pd.DataFrame:
         residuals = _inv_boxcox(mstl_fit(transformed, periods=periods).resid, lmbda)
     else:
         residuals = mstl_fit(x, periods=periods).resid
-    out = _dispersion_flags(df, residuals)
+    if _degenerate_decomposition(residuals, x):
+        out = find_outliers_iqr(df)
+    else:
+        out = _dispersion_flags(df, residuals)
     return out.iloc[:, :2].reset_index(drop=True)
 
 

@@ -224,6 +224,8 @@ def _series_detector(method: str, period: int):
             elif method == "stl":
                 resid = stl_fit(x, period=period,
                                 seasonal=period + (period % 2 == 0)).resid
+                if compat._degenerate_decomposition(resid, x):
+                    raise ValueError("degenerate decomposition")
                 _, p = monte_carlo_shapiro_pvalue(resid[~np.isnan(resid)])
                 if p > 0.05:
                     z = np.abs(_zs(resid))
@@ -236,6 +238,8 @@ def _series_detector(method: str, period: int):
                 periods = (period, period * 7) if period >= 24 else (period,)
                 usable = tuple(p for p in periods if n > 2 * p)
                 resid = mstl_fit(x, periods=usable or (period,)).resid
+                if compat._degenerate_decomposition(resid, x):
+                    raise ValueError("degenerate decomposition")
                 s = mad_scores(resid)
                 flags, score = s > 3.5, s
             elif method == "classic":

@@ -1,0 +1,242 @@
+"""Unit tests for the pure-NumPy kernels, mirroring the reference's own
+assertions (reference tests/test_catch.py — see FIXTURES.md §B)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoken.stats.acf import acf, ssacf
+from tstoken.stats.boxcox import boxcox, inv_boxcox
+from tstoken.stats.decompose import seasonal_decompose
+from tstoken.stats.dispersion import (iqr_fences, iqr_labels, mad_labels,
+                                      mad_scores, zscore)
+from tstoken.stats.esd import generalized_esd, seasonal_esd
+from tstoken.stats.mstl import mstl_fit
+from tstoken.stats.normality import (monte_carlo_shapiro_pvalue, shapiro,
+                                     shapiro_w)
+from tstoken.stats.special import betainc, norm_ppf, t_ppf
+from tstoken.stats.stl import stl_fit
+
+
+class TestSpecial:
+    def test_norm_ppf_known(self):
+        assert norm_ppf(0.975) == pytest.approx(1.959963985, abs=1e-8)
+        assert norm_ppf(0.5) == 0.0
+        assert norm_ppf(0.025) == pytest.approx(-1.959963985, abs=1e-8)
+
+    def test_t_ppf_known(self):
+        # scipy.stats.t.ppf reference values
+        assert t_ppf(0.975, 10) == pytest.approx(2.228138852, abs=1e-7)
+        assert t_ppf(0.95, 2) == pytest.approx(2.919985580, abs=1e-7)
+        assert t_ppf(0.99, 30) == pytest.approx(2.457261531, abs=1e-7)
+        assert t_ppf(0.05, 5) == pytest.approx(-2.015048373, abs=1e-7)
+
+    def test_betainc(self):
+        assert betainc(2, 3, 0.4) == pytest.approx(0.5248, abs=1e-10)
+
+
+class TestIQR:
+    # mirrors reference TestFindOutliersIQR (test_catch.py:53-91)
+    def test_known_outlier(self):
+        x = np.array([1, 2, 3, 100, 4], dtype=float)
+        labels = iqr_labels(x)
+        assert labels.tolist() == [False, False, False, True, False]
+
+    def test_normal_rate(self):
+        rng = np.random.RandomState(42)
+        x = rng.normal(0, 1, 1000)
+        rate = iqr_labels(x).mean()
+        assert 0.001 <= rate <= 0.02
+
+    def test_fences_linear_interp(self):
+        x = np.arange(1, 6, dtype=float)  # quartiles 2.0 / 4.0 like pandas
+        lo, hi = iqr_fences(x)
+        assert lo == pytest.approx(2.0 - 3.0)
+        assert hi == pytest.approx(4.0 + 3.0)
+
+
+class TestMAD:
+    # mirrors reference TestAnomalyMAD (test_catch.py:93-117)
+    def test_normal_rate(self):
+        rng = np.random.RandomState(42)
+        x = rng.normal(0, 1, 1000)
+        rate = mad_labels(x).mean()
+        assert 0.001 <= rate <= 0.1
+
+    def test_known(self):
+        assert mad_labels(np.array([1, 2, 3, 100, 4], float)).tolist() == \
+            [False, False, False, True, False]
+
+    def test_zero_mad(self):
+        x = np.array([5.0] * 10 + [6.0])
+        labels = mad_labels(x)
+        assert labels[-1]  # inf score clamps to huge -> flagged
+        assert not labels[:-1].any()
+
+
+class TestZscore:
+    def test_population_std(self):
+        x = np.array([1.0, 2.0, 3.0])
+        z = zscore(x)
+        assert z[2] == pytest.approx((3 - 2) / np.std(x))  # ddof=0
+
+
+class TestSSACF:
+    # mirrors TestSumOfSquares / TestGetSSACF (test_catch.py:155-216)
+    def test_acf_lag0(self):
+        rng = np.random.RandomState(0)
+        a = acf(rng.normal(size=500))
+        assert a[0] == pytest.approx(1.0)
+        assert len(a) == min(int(10 * np.log10(500)), 499) + 1
+
+    def test_ssacf_white_noise_near_one(self):
+        rng = np.random.RandomState(1)
+        assert ssacf(rng.normal(size=2000)) == pytest.approx(1.0, abs=0.1)
+
+
+class TestBoxCox:
+    def test_lognormal_lambda_near_zero(self):
+        rng = np.random.RandomState(42)
+        x = rng.lognormal(size=1000)
+        y, lam = boxcox(x)
+        assert abs(lam) < 0.15
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(3)
+        x = rng.uniform(1, 100, 500)
+        y, lam = boxcox(x)
+        assert np.allclose(inv_boxcox(y, lam), x, rtol=1e-9)
+
+    def test_rejects_nonpositive(self):
+        with pytest.raises(ValueError):
+            boxcox(np.array([1.0, -2.0, 3.0]))
+
+
+class TestShapiro:
+    def test_normal_high_p(self):
+        rng = np.random.RandomState(42)
+        w, p = shapiro(rng.normal(size=300))
+        assert w > 0.99 and p > 0.05
+
+    def test_exponential_low_p(self):
+        rng = np.random.RandomState(42)
+        w, p = shapiro(rng.exponential(size=300))
+        assert p < 1e-6
+
+    def test_classic_dataset(self):
+        # Royston's weights example; scipy gives W=0.7896, p=0.0070
+        x = np.array([148, 154, 158, 160, 161, 162, 166, 170, 182, 195, 236],
+                     float)
+        w, p = shapiro(x)
+        assert w == pytest.approx(0.7896, abs=0.005)
+        assert p == pytest.approx(0.0070, abs=0.003)
+
+    def test_monte_carlo_deterministic(self):
+        rng = np.random.RandomState(7)
+        x = rng.normal(size=200)
+        w1, p1 = monte_carlo_shapiro_pvalue(x)
+        w2, p2 = monte_carlo_shapiro_pvalue(x)
+        assert (w1, p1) == (w2, p2)
+        assert w1 == pytest.approx(shapiro_w(x))
+
+
+class TestDecompose:
+    # mirrors TestDecomposeAndDetect fixture (test_catch.py:493-518)
+    def test_planted_outliers_recovered(self):
+        rng = np.random.RandomState(42)
+        n = 100
+        x = (100 + np.linspace(0, 10, n) + 5 * np.sin(np.linspace(0, 8 * np.pi, n))
+             + rng.normal(0, 0.1, n))
+        x[25], x[75] = 130.0, 70.0
+        dec = seasonal_decompose(x, "additive", period=7)
+        flags = mad_labels(dec.resid)
+        # reference test only asserts the planted pair is recovered
+        # (test_catch.py:517-518); off-period sine leaves residual wiggle
+        assert flags[25] and flags[75]
+        assert flags.sum() <= 15
+
+    def test_no_nan_with_extrapolation(self):
+        rng = np.random.RandomState(0)
+        x = 100 + rng.normal(0, 1, 60)
+        dec = seasonal_decompose(x, "additive", period=12)
+        assert not np.isnan(dec.trend).any()
+        assert not np.isnan(dec.resid).any()
+
+    def test_multiplicative(self):
+        t = np.arange(200, dtype=float)
+        x = (10 + 0.05 * t) * (1 + 0.2 * np.sin(2 * np.pi * t / 20))
+        dec = seasonal_decompose(x, "multiplicative", period=20)
+        assert np.nanmean(dec.resid) == pytest.approx(1.0, abs=0.01)
+        with pytest.raises(ValueError):
+            seasonal_decompose(x - 100, "multiplicative", period=20)
+
+    def test_requires_two_cycles(self):
+        with pytest.raises(ValueError):
+            seasonal_decompose(np.arange(10.0), "additive", period=7)
+
+
+class TestSTL:
+    # mirrors TestDetectOutliersSTL fixtures (test_catch.py:857-925)
+    def test_spike_in_hourly(self):
+        rng = np.random.RandomState(42)
+        n = 17520
+        x = 100 + 50 * np.sin(np.linspace(0, 100, n)) + rng.uniform(0, 10, n)
+        x[1000] = 1000.0
+        res = stl_fit(x, period=24, seasonal=25)
+        assert abs(res.resid[1000]) > 10 * np.std(np.delete(res.resid, 1000))
+
+    def test_components_reconstruct(self):
+        rng = np.random.RandomState(1)
+        n = 400
+        x = 50 + 5 * np.sin(2 * np.pi * np.arange(n) / 20) + rng.normal(0, 1, n)
+        res = stl_fit(x, period=20, seasonal=21)
+        assert np.allclose(res.seasonal + res.trend + res.resid, x)
+        assert np.std(res.resid) < 1.5
+
+    def test_param_validation(self):
+        with pytest.raises(ValueError):
+            stl_fit(np.arange(100.0), period=1)
+        with pytest.raises(ValueError):
+            stl_fit(np.arange(100.0), period=10, seasonal=8)  # even
+
+
+class TestMSTL:
+    def test_two_periods(self):
+        rng = np.random.RandomState(2)
+        n = 24 * 60
+        t = np.arange(n)
+        x = (100 + 10 * np.sin(2 * np.pi * t / 24)
+             + 5 * np.sin(2 * np.pi * t / 168) + rng.normal(0, 1, n))
+        res = mstl_fit(x, periods=(24, 168))
+        assert res.seasonal.shape == (2, n)
+        assert np.std(res.resid) < 2.0
+
+    def test_scalar_period(self):
+        rng = np.random.RandomState(3)
+        x = 10 + rng.normal(0, 1, 100)
+        res = mstl_fit(x, periods=12)
+        assert res.resid.shape == (100,)
+
+
+class TestESD:
+    def test_generalized_finds_planted(self):
+        rng = np.random.RandomState(42)
+        x = rng.normal(0, 1, 300)
+        x[10], x[200] = 8.0, -7.5
+        idx = generalized_esd(x, max_anomalies=15)
+        assert {10, 200} <= set(idx)
+        assert len(idx) <= 4  # Rosner may flag a real extreme of the draw
+
+    def test_no_outliers_in_clean_normal(self):
+        rng = np.random.RandomState(5)
+        idx = generalized_esd(rng.normal(0, 1, 200), max_anomalies=10)
+        assert len(idx) <= 2
+
+    def test_seasonal_finds_spike(self):
+        rng = np.random.RandomState(4)
+        n = 400
+        x = 100 + 20 * np.sin(2 * np.pi * np.arange(n) / 20) \
+            + rng.normal(0, 1, n)
+        x[111] = 250.0
+        idx = seasonal_esd(x, periodicity=20, max_anomalies=20, hybrid=True)
+        assert 111 in idx
