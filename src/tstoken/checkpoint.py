@@ -99,7 +99,7 @@ def run_incremental_rollup(spark: SparkSession, io: TableIO, raw: DataFrame,
         if io.exists("rollup_1m"):
             merged = io.read("rollup_1m").join(
                 pend, ["source", "chunk"], "left_anti").unionByName(work)
-            io.overwrite("rollup_1m", merged, partition_by=("source",))
+            io.overwrite_safe("rollup_1m", merged, partition_by=("source",))
         else:
             io.overwrite("rollup_1m", work, partition_by=("source",))
         counts = work.groupBy("source", "chunk").agg(
@@ -125,7 +125,8 @@ def run_incremental_rollup(spark: SparkSession, io: TableIO, raw: DataFrame,
             if io.exists(f"rollup_{dst_tier}"):
                 merged = io.read(f"rollup_{dst_tier}").join(
                     pend, ["source", "chunk"], "left_anti").unionByName(work)
-                io.overwrite(f"rollup_{dst_tier}", merged, partition_by=("source",))
+                io.overwrite_safe(f"rollup_{dst_tier}", merged,
+                                  partition_by=("source",))
             else:
                 io.overwrite(f"rollup_{dst_tier}", work, partition_by=("source",))
             counts = work.groupBy("source", "chunk").agg(

@@ -118,6 +118,24 @@ class TableIO:
            .parquet(self._path(table)))
         return self._bump_manifest(table, "overwrite", -1)
 
+    def overwrite_safe(self, table: str, df: DataFrame,
+                       partition_by: tuple[str, ...] = ("source",)) -> int:
+        """Overwrite a table with a DataFrame that may READ from the same
+        table (merge-back). Iceberg snapshots make this safe natively;
+        the parquet fallback stages to a sibling dir and swaps."""
+        if self.backend == "iceberg" or not self.exists(table):
+            return self.overwrite(table, df, partition_by)
+        import shutil
+        final = self._path(table)
+        tmp = final + "__staging"
+        (df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp))
+        manifest = self._read_manifest(table)
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(self._manifest_path(table), "w") as f:
+            json.dump(manifest, f)
+        return self._bump_manifest(table, "overwrite_safe", -1)
+
     def delete_where(self, table: str, predicate: str) -> int:
         """Retention delete. Iceberg: metadata-only DELETE FROM;
         parquet fallback: rewrite the surviving rows."""

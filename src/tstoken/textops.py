@@ -175,16 +175,19 @@ def _shingles(col="text", k: int = 5) -> F.Column:
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
     """MinHash signature per doc: sig[j] = min over shingles of
     xxhash64(shingle, seed_j). Higher-order functions only."""
+    def _minhash(seed):
+        def h(s):
+            return F.xxhash64(s, F.lit(seed))
+        return h
+
     sh = docs.select("doc_id", _shingles().alias("sh"))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            "sh", lambda s, j=j: F.xxhash64(s, F.lit(j))))
-        for j in range(num_hashes)])
+    sig = F.array(*[F.array_min(F.transform("sh", _minhash(j)))
+                    for j in range(num_hashes)])
     return sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 64,
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 32, threshold: float = 0.5) -> DataFrame:
     """LSH: band signatures → bucket equi-join → verified Jaccard.
 
     shingle→minhash→band→bucket-join per the brief; the band join is an

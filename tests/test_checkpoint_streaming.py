@@ -1,0 +1,218 @@
+"""Checkpoint/resume idempotency, streaming-vs-batch rollup agreement,
+multimodal plumbing, text/similarity operators."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstoken import synth
+from tstoken.checkpoint import read_ledger, run_incremental_rollup
+from tstoken.tableio import TableIO
+
+ROWS = 8_000
+SOURCES = 3
+
+
+class TestCheckpointResume:
+    def test_resume_is_idempotent(self, spark, tmp_path):
+        io = TableIO(spark, str(tmp_path / "tiers"))
+        raw = synth.generate_tokens_raw(spark, ROWS, n_sources=SOURCES)
+
+        p1 = run_incremental_rollup(spark, io, raw)
+        assert p1["1m"] > 0 and p1["1h"] > 0 and p1["1d"] > 0
+        snap1 = {t: io.read(f"rollup_{t}").toPandas()
+                 .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+                 for t in ("1m", "1h", "1d")}
+
+        # second run: ledger says everything is done → zero units
+        p2 = run_incremental_rollup(spark, io, raw)
+        assert p2 == {"1m": 0, "1h": 0, "1d": 0}
+        for t in ("1m", "1h", "1d"):
+            snap2 = io.read(f"rollup_{t}").toPandas() \
+                .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                snap1[t].drop(columns=["chunk"], errors="ignore"),
+                snap2.drop(columns=["chunk"], errors="ignore"),
+                check_like=True)
+
+    def test_partial_ledger_resume(self, spark, tmp_path):
+        """Simulate a crash: erase half the 1m ledger entries, re-run,
+        and require byte-identical tiers (idempotent replay)."""
+        io = TableIO(spark, str(tmp_path / "tiers"))
+        raw = synth.generate_tokens_raw(spark, ROWS, n_sources=SOURCES)
+        run_incremental_rollup(spark, io, raw)
+        before = io.read("rollup_1m").toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+
+        ledger = read_ledger(io).toPandas()
+        keep = ledger[~((ledger["tier"] == "1m")
+                        & (ledger["source"] == "src-000"))]
+        assert len(keep) < len(ledger)
+        io.overwrite("ledger", spark.createDataFrame(
+            keep, schema=read_ledger(io).schema), partition_by=("tier",))
+
+        p = run_incremental_rollup(spark, io, raw)
+        assert p["1m"] > 0  # replayed the erased units
+        after = io.read("rollup_1m").toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after, check_like=True)
+
+    def test_ledger_carries_metrics(self, spark, tmp_path):
+        io = TableIO(spark, str(tmp_path / "tiers"))
+        raw = synth.generate_tokens_raw(spark, ROWS, n_sources=SOURCES)
+        run_incremental_rollup(spark, io, raw)
+        led = read_ledger(io).toPandas()
+        assert {"tier", "source", "chunk", "input_snapshot", "rows_in",
+                "rows_out", "wall_ms", "points_per_sec",
+                "finished_at"} <= set(led.columns)
+        assert (led["points_per_sec"] > 0).all()
+        assert (led["rows_out"] > 0).all()
+
+
+class TestRetentionDelete:
+    def test_apply_retention_deletes_old(self, spark, tmp_path):
+        from datetime import timedelta
+        from tstoken.retention import apply_retention
+        io = TableIO(spark, str(tmp_path / "tiers"))
+        raw = synth.generate_tokens_raw(spark, ROWS, n_sources=SOURCES)
+        run_incremental_rollup(spark, io, raw)
+        n_before = io.read("rollup_1m").count()
+        hi = io.read("rollup_1m").agg(F.max("bucket_ts")).collect()[0][0]
+        apply_retention(io, "1m", now=hi,
+                        horizons={"1m": timedelta(hours=1)})
+        kept = io.read("rollup_1m")
+        assert kept.count() < n_before
+        lo = kept.agg(F.min("bucket_ts")).collect()[0][0]
+        assert (hi - lo).total_seconds() <= 3600
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from tstoken.rollup import rollup_1m
+        from tstoken.streaming import streaming_rollup_1m
+
+        raw = synth.generate_tokens_raw(spark, 4000, n_sources=2)
+        path = str(tmp_path / "stream_src")
+        raw.write.mode("overwrite").parquet(path)
+
+        stream = spark.readStream.schema(raw.schema).parquet(path)
+        agg = streaming_rollup_1m(stream)
+        q = (agg.writeStream.format("memory").queryName("t1m_stream")
+             .outputMode("complete").start())
+        q.processAllAvailable()
+        got = spark.sql("select * from t1m_stream").toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        q.stop()
+
+        want = rollup_1m(raw).drop("sum_tok_sq", "gap_filled").toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        got = got.drop(columns=["gap_filled"])
+        for c in ["n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        from tstoken.multimodal import FEATURE_DIM, extract_features, synth_media
+        media = synth_media(spark, 60)
+        feats = extract_features(media).toPandas()
+        assert len(feats) == 60
+        assert feats["feature"].map(len).eq(FEATURE_DIM).all()
+        sums = feats["feature"].map(lambda v: float(np.sum(v)))
+        assert np.allclose(sums, 1.0, atol=1e-5)
+
+    def test_stubs_marked(self):
+        from tstoken.multimodal import decode_image, sample_video_frames
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8")
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(b"")
+
+
+class TestTextOps:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "the cat sat on the mat", "en", "s1"),
+            (2, "the cat sat on the mat", "en", "s1"),          # exact dup
+            (3, "the cat sat on the red mat", "en", "s1"),       # near dup
+            (4, "der hund und die katze sind von dem haus", "de", "s1"),
+            (5, "el perro y el gato es que en la casa", "es", "s2"),
+            (6, "completely different text about spark engines", "en", "s2"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, "
+                                           "lang string, source string")
+
+    def test_exact_dedup(self, spark, docs):
+        from tstoken.textops import exact_dedup
+        out = exact_dedup(docs).toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["keep_doc_id"] == 1
+        assert out.iloc[0]["n_dupes"] == 2
+
+    def test_langid(self, docs):
+        from tstoken.textops import detect_language
+        out = detect_language(docs).toPandas().set_index("doc_id")
+        assert out.loc[1, "lang_pred"] == "en"
+        assert out.loc[4, "lang_pred"] == "de"
+        assert out.loc[5, "lang_pred"] == "es"
+
+    def test_minhash_finds_near_dup(self, docs):
+        from tstoken.textops import minhash_dup_pairs
+        pairs = minhash_dup_pairs(docs, threshold=0.4).toPandas()
+        got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+        assert (1, 2) in got  # identical
+        assert (1, 3) in got and (2, 3) in got  # near-dup (J≈0.45)
+
+    def test_simhash_hamming_zero_for_identical(self, docs):
+        from tstoken.textops import simhash
+        sh = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+        assert sh[1] == sh[2]
+        assert sh[1] != sh[6]
+
+    def test_rolling_hash_deterministic(self, spark, docs):
+        from tstoken.textops import fingerprint
+        a = fingerprint(docs).toPandas().set_index("doc_id")["rolling_hash"]
+        b = fingerprint(docs).toPandas().set_index("doc_id")["rolling_hash"]
+        assert (a == b).all()
+        assert a[1] == a[2] and a[1] != a[6]
+
+
+class TestSimSearch:
+    def test_bruteforce_matches_numpy(self, spark):
+        from tstoken.simsearch import cosine_topk
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((50, 8)).astype(np.float64)
+        rows = [(i, vecs[i].tolist()) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter("vec_id < 3").selectExpr("vec_id as qid",
+                                                "embedding as qvec")
+        got = cosine_topk(emb, q, k=5).toPandas()
+        norms = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        for qid in range(3):
+            s = np.round(sims[qid], 6).copy()
+            s[qid] = -np.inf
+            order = np.lexsort((np.arange(50), -s))[:5]
+            mine = got[got["qid"] == qid].sort_values("rank")["vec_id"] \
+                .to_numpy()
+            assert (mine == order).all(), (qid, mine, order)
+
+    def test_lsh_recall(self, spark):
+        from tstoken.simsearch import cosine_topk, lsh_topk
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((200, 16))
+        rows = [(i, vecs[i].tolist()) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter("vec_id < 5").selectExpr("vec_id as qid",
+                                                "embedding as qvec")
+        exact = cosine_topk(emb, q, k=5).toPandas()
+        approx = lsh_topk(emb, q, dim=16, k=5, n_planes=6, n_tables=8) \
+            .toPandas()
+        e = set(map(tuple, exact[["qid", "vec_id"]].to_numpy()))
+        a = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, recall

@@ -1,0 +1,226 @@
+"""Spark-side engine tests: synth exactness, rollup-vs-oracle equality,
+tier cascade, gap-fill, salting invariance, detector F1, codec
+round-trip through Spark, retention (SURVEY.md §5 engine test plan)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstoken import detect, gapfill, rollup, synth
+
+ROWS = 12_000
+SOURCES = 4
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    df = synth.generate_tokens_raw(spark, ROWS, n_sources=SOURCES).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle_pdf():
+    return synth.generate_tokens_raw_pandas(ROWS, n_sources=SOURCES)
+
+
+@pytest.fixture(scope="module")
+def t1m(spark, raw):
+    df = rollup.rollup_1m(raw).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def oracle_rollup_1m(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["step"] = pdf["source"].str[4:7].astype(int).map(lambda i: 3 + (i * 7) % 43)
+    pdf["minute"] = (pdf["seq"] * pdf["step"]) // 60
+    pdf["bucket_ts"] = (pd.Timestamp("2024-01-01")
+                        + pd.to_timedelta(pdf["minute"] * 60, unit="s"))
+    pdf["tok_sq"] = pdf["tokens"].map(
+        lambda a: int((a.astype(np.int64) ** 2).sum()))
+    return (pdf.groupby(["source", "bucket_ts"])
+            .agg(n_docs=("n_tok", "size"), sum_n_tok=("n_tok", "sum"),
+                 min_n_tok=("n_tok", "min"), max_n_tok=("n_tok", "max"),
+                 sum_tok_sq=("tok_sq", "sum"))
+            .reset_index()
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True))
+
+
+class TestSynth:
+    def test_row_identity_vs_pandas_oracle(self, raw, oracle_pdf):
+        sdf = raw.select("doc_id", "n_tok").toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        odf = oracle_pdf[["doc_id", "n_tok"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(sdf) == len(odf)
+        assert (sdf["doc_id"] == odf["doc_id"]).all()
+        assert (sdf["n_tok"].astype(int) == odf["n_tok"].astype(int)).all()
+
+    def test_token_array_equality(self, raw, oracle_pdf):
+        # per-row token-array invariant (BASELINE input_hint)
+        samp = raw.select("doc_id", "tokens").limit(300).toPandas()
+        om = oracle_pdf.set_index("doc_id")
+        for _, row in samp.iterrows():
+            assert np.array_equal(np.array(row["tokens"]),
+                                  om.loc[row["doc_id"], "tokens"])
+
+    def test_zipf_skew(self, raw):
+        counts = raw.groupBy("source").count().toPandas() \
+            .set_index("source")["count"]
+        assert counts["src-000"] > 0.3 * counts.sum()  # hot key exists
+
+    def test_ground_truth_table(self, spark):
+        gt = synth.ground_truth(spark, ROWS, n_sources=SOURCES).toPandas()
+        assert set(gt["kind"]) <= {"spike", "drop"}
+        assert len(gt) > 0
+
+
+class TestRollup:
+    def test_1m_exact_vs_oracle(self, t1m, oracle_pdf):
+        r = t1m.toPandas().sort_values(["source", "bucket_ts"]) \
+            .reset_index(drop=True)
+        g = oracle_rollup_1m(oracle_pdf)
+        assert len(r) == len(g)
+        r["bucket_ts"] = pd.to_datetime(r["bucket_ts"])
+        for c in ["n_docs", "sum_n_tok", "min_n_tok", "max_n_tok",
+                  "sum_tok_sq"]:
+            assert (r[c].to_numpy() == g[c].to_numpy()).all(), c
+        assert (r["bucket_ts"].to_numpy() == g["bucket_ts"].to_numpy()).all()
+
+    def test_salting_invariance(self, raw, t1m):
+        # two-phase salted agg must be exact for any salt count
+        alt = rollup.rollup_1m(raw, n_salts=1).toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        ref = t1m.toPandas().sort_values(["source", "bucket_ts"]) \
+            .reset_index(drop=True)
+        for c in ["n_docs", "sum_n_tok", "min_n_tok", "max_n_tok",
+                  "sum_tok_sq"]:
+            assert (alt[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_cascade_preserves_totals(self, t1m):
+        t1h = rollup.rollup_cascade(t1m, "1h")
+        t1d = rollup.rollup_cascade(t1h, "1d")
+        a = t1m.agg(F.sum("n_docs"), F.sum("sum_n_tok"),
+                    F.sum("sum_tok_sq")).collect()[0]
+        for tier in (t1h, t1d):
+            b = tier.agg(F.sum("n_docs"), F.sum("sum_n_tok"),
+                         F.sum("sum_tok_sq")).collect()[0]
+            assert tuple(a) == tuple(b)
+        # min/max consistency
+        m1 = t1m.agg(F.min("min_n_tok"), F.max("max_n_tok")).collect()[0]
+        m2 = t1d.agg(F.min("min_n_tok"), F.max("max_n_tok")).collect()[0]
+        assert tuple(m1) == tuple(m2)
+
+    def test_bucket_uniqueness(self, t1m):
+        dup = (t1m.groupBy("source", "bucket_ts").count()
+               .filter("count > 1").count())
+        assert dup == 0
+
+
+class TestGapFill:
+    def test_dense_axis(self, t1m):
+        gf = gapfill.gap_fill(t1m, "1m").toPandas()
+        for src, grp in gf.groupby("source"):
+            ts = pd.to_datetime(grp["bucket_ts"]).sort_values()
+            deltas = ts.diff().dropna().dt.total_seconds()
+            assert (deltas == 60).all(), src
+        filled = gf[gf["gap_filled"]]
+        assert len(filled) > 0  # synth plants 1% gap minutes
+        assert (filled["n_docs"] == 0).all()
+        assert filled["min_n_tok"].isna().all()
+
+    def test_original_rows_untouched(self, t1m):
+        gf = gapfill.gap_fill(t1m, "1m")
+        a = gf.filter(~F.col("gap_filled")).agg(
+            F.sum("sum_n_tok"), F.count(F.lit(1))).collect()[0]
+        b = t1m.agg(F.sum("sum_n_tok"), F.count(F.lit(1))).collect()[0]
+        assert tuple(a) == tuple(b)
+
+
+class TestDetectors:
+    @pytest.fixture(scope="class")
+    def gf(self, spark, t1m):
+        df = gapfill.gap_fill(t1m, "1m").cache()
+        df.count()
+        yield df
+        df.unpersist()
+
+    def test_iqr_matches_numpy(self, gf):
+        fl = detect.iqr_flags(gf).toPandas()
+        vals = gf.select("source", "bucket_ts", "sum_n_tok").toPandas()
+        merged = fl.merge(vals, on=["source", "bucket_ts"])
+        from tstoken.stats.dispersion import iqr_labels
+        for src, grp in merged.groupby("source"):
+            expect = iqr_labels(grp["sum_n_tok"].to_numpy(float))
+            assert (grp["is_outlier"].to_numpy() == expect).all(), src
+
+    def test_mad_matches_numpy(self, gf):
+        fl = detect.mad_flags(gf).toPandas()
+        vals = gf.select("source", "bucket_ts", "sum_n_tok").toPandas()
+        merged = fl.merge(vals, on=["source", "bucket_ts"])
+        from tstoken.stats.dispersion import mad_labels
+        for src, grp in merged.groupby("source"):
+            expect = mad_labels(grp["sum_n_tok"].to_numpy(float))
+            assert (grp["is_outlier"].to_numpy() == expect).all(), src
+
+    def test_stl_f1_vs_ground_truth(self, spark, gf):
+        fl = detect.grouped_flags(gf, "1m", "stl").toPandas()
+        gt = synth.ground_truth(spark, ROWS, n_sources=SOURCES).toPandas()
+        gt["bucket_ts"] = pd.to_datetime(gt["bucket_ts"])
+        fl["bucket_ts"] = pd.to_datetime(fl["bucket_ts"])
+        truth = set(zip(gt["source"], gt["bucket_ts"]))
+        flagged = set(zip(fl.loc[fl["is_outlier"], "source"],
+                          fl.loc[fl["is_outlier"], "bucket_ts"]))
+        # truth minutes that actually exist in the rolled data
+        have = set(zip(fl["source"], fl["bucket_ts"]))
+        truth &= have
+        tp = len(truth & flagged)
+        prec = tp / max(len(flagged), 1)
+        rec = tp / max(len(truth), 1)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+        # |z|>2 flags ~2-3% of ANY Gaussian series (reference semantics,
+        # catch.py:1156) so precision is bounded on short series; assert
+        # the planted anomalies are mostly recovered and F1 is sane
+        assert rec >= 0.6, (prec, rec, f1)
+        assert f1 > 0.25, (prec, rec, f1)
+
+
+class TestCompressSpark:
+    def test_roundtrip_through_spark(self, spark, t1m):
+        from tstoken import compress
+        blocks = compress.compress_tier(t1m)
+        dec = compress.decompress_blocks(blocks).toPandas() \
+            .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        ref = t1m.selectExpr("source", "bucket_ts",
+                             "cast(sum_n_tok as double) as value") \
+            .toPandas().sort_values(["source", "bucket_ts"]) \
+            .reset_index(drop=True)
+        assert len(dec) == len(ref)
+        assert (dec["value"].to_numpy() == ref["value"].to_numpy()).all()
+        assert (pd.to_datetime(dec["bucket_ts"]).to_numpy()
+                == pd.to_datetime(ref["bucket_ts"]).to_numpy()).all()
+
+    def test_compression_ratio(self, t1m):
+        from tstoken import compress
+        blocks = compress.compress_tier(t1m).toPandas()
+        raw_bytes = 16 * blocks["n_points"].sum()
+        enc_bytes = (blocks["ts_block"].map(len).sum()
+                     + blocks["val_block"].map(len).sum())
+        assert enc_bytes < raw_bytes * 0.7
+
+
+class TestRetention:
+    def test_read_side_filter(self, spark, t1m):
+        from datetime import datetime, timedelta
+        from tstoken.retention import filter_retained
+        hi = t1m.agg(F.max("bucket_ts")).collect()[0][0]
+        now = hi + timedelta(days=1)
+        kept = filter_retained(t1m, "1m", now,
+                               horizons={"1m": timedelta(hours=6)})
+        lo_allowed = now - timedelta(hours=6)
+        assert kept.filter(F.col("bucket_ts") < F.lit(lo_allowed)).count() == 0
+        assert kept.count() < t1m.count()
