@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two groups:
+  - driver-table queries (events/documents/embeddings) from
+    __spark_entry__ — forced with a noop sink (full computation, no
+    driver collect);
+  - the token-engine pipeline at TSTOKEN_BENCH_ROWS synthetic rows
+    (default 2M): synth → salted 1m rollup → 1h → 1d cascades → IQR +
+    MAD flags; reports rolled-up points/sec, the BASELINE.json metric.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, TSTOKEN_BENCH_ROWS,
+TSTOKEN_BENCH_SOURCES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+for p in (REPO, os.path.join(REPO, "src")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+HEADLINE = [
+    "ev_rollup_1m", "ev_rollup_1h", "ev_gapfill_1h", "ev_iqr_flags_1h",
+    "ev_mad_flags_1h", "ev_ma7_1h", "ev_optimal_window",
+    "doc_token_counts", "doc_quality", "doc_ngram_jaccard",
+    "doc_minhash_pairs", "emb_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_rows = int(os.environ.get("TSTOKEN_BENCH_ROWS", "2000000"))
+    bench_sources = int(os.environ.get("TSTOKEN_BENCH_SOURCES", "16"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from tstoken.session import get_spark
+
+    spark = get_spark("tstoken-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # token-engine pipeline (the north-rule metric)
+    from tstoken import detect, gapfill, rollup, synth
+    t0 = time.time()
+    raw = synth.generate_tokens_raw(spark, bench_rows,
+                                    n_sources=bench_sources)
+    t1m = rollup.rollup_1m(raw, n_salts=cpus)
+    t1m = t1m.localCheckpoint()  # materialize once; cascades reuse
+    n_1m = t1m.count()
+    t1h = rollup.rollup_cascade(t1m, "1h").localCheckpoint()
+    n_1h = t1h.count()
+    t1d = rollup.rollup_cascade(t1h, "1d")
+    n_1d = t1d.count()
+    gf = gapfill.gap_fill(t1m, "1m")
+    force(detect.iqr_flags(gf))
+    force(detect.mad_flags(gf))
+    tok_wall = time.time() - t0
+    timings["tok_pipeline"] = round(tok_wall, 3)
+    rolled_points = n_1m + n_1h + n_1d
+    pps = rolled_points / tok_wall
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "tok_bench_rows": bench_rows,
+        "rolled_points": rolled_points,
+        "rolled_points_per_sec": round(pps, 1),
+        "raw_rows_per_sec": round(bench_rows / tok_wall, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -173,29 +173,53 @@ def _shingles(col="text", k: int = 5) -> F.Column:
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per doc: sig[j] = min over shingles of
-    xxhash64(shingle, seed_j). Higher-order functions only."""
-    def _minhash(seed):
-        def h(s):
-            return F.xxhash64(s, F.lit(seed))
+    """MinHash signature per doc.
+
+    Shingles are string-hashed ONCE (xxhash64), then the k signature
+    slots come from a universal-hash family over the base hash:
+    sig[j] = min over shingles of (a_j·h + b_j) mod (2^31-1) — one
+    expensive string-hash pass + k cheap integer passes, instead of k
+    string-hash passes. All arithmetic stays below 2^52, safe under
+    ANSI overflow checks.
+    """
+    P = (1 << 31) - 1
+
+    def _perm(j):
+        a = 2 * j + 1 + 104729          # odd multipliers, fixed family
+        b = (j * 7919 + 13) % P
+
+        def h(hv):
+            return F.pmod(F.lit(a) * hv + F.lit(b), F.lit(P))
         return h
 
-    sh = docs.select("doc_id", _shingles().alias("sh"))
-    sig = F.array(*[F.array_min(F.transform("sh", _minhash(j)))
+    # small source files arrive as one input split; spread the hashing
+    sh = docs.repartition(max(docs.sparkSession.sparkContext
+                              .defaultParallelism, 8)) \
+             .select("doc_id", _shingles().alias("sh"))
+    base = F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
+    sh = sh.select("doc_id", base.alias("hs"))
+    sig = F.array(*[F.array_min(F.transform("hs", _perm(j)))
                     for j in range(num_hashes)])
     return sh.select("doc_id", sig.alias("sig"))
 
 
-def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 64,
-                      bands: int = 32, threshold: float = 0.5) -> DataFrame:
-    """LSH: band signatures → bucket equi-join → verified Jaccard.
+def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
+                      bands: int = 21, threshold: float = 0.5) -> DataFrame:
+    """LSH near-dup pairs: band bucket-join → signature-agreement
+    prefilter → exact shingle-Jaccard verification.
 
-    shingle→minhash→band→bucket-join per the brief; the band join is an
-    equi-join on (band_id, band_hash) so Catalyst shuffles candidates
-    only, never the full cross product.
+    shingle→minhash→band→bucket-join per the brief. Default geometry
+    b=21, r=3 targets t ≈ (1/b)^(1/r) ≈ 0.36. Corpora with a high
+    baseline similarity flood the band buckets, so candidates are first
+    cut by the minhash Jaccard ESTIMATE (fraction of agreeing signature
+    slots — already computed, integer compares only) and only survivors
+    pay for the exact array_intersect verification.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes)
+    # materialize signatures once — the LSH self-join would otherwise
+    # recompute the shingle hashing on both sides (at warehouse scale
+    # this is the "write sigs to a table" step)
+    sigs = minhash_signatures(docs, num_hashes).localCheckpoint()
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -210,7 +234,19 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 64,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # verify candidates with true shingle Jaccard
+    # prefilter: estimated Jaccard from signature agreement
+    cand = (cand
+            .join(sigs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sig").alias("sig_a")), "doc_a")
+            .join(sigs.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    cand = cand.filter(est >= threshold * 0.7).select("doc_a", "doc_b")
+    # verify survivors with true shingle Jaccard
     sh = docs.select("doc_id", _shingles().alias("sh"))
     v = (cand
          .join(sh.withColumnRenamed("doc_id", "doc_a")
