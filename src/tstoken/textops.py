@@ -183,24 +183,35 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
     ANSI overflow checks.
     """
     P = (1 << 31) - 1
+    k = 5
 
-    def _perm(j):
+    # Explode shingle positions and aggregate natively: the whole
+    # pipeline (sequence -> explode -> substring -> xxhash64 -> 63
+    # min() aggregates) stays inside whole-stage codegen. The previous
+    # formulation (num_hashes interpreted F.transform lambdas over a
+    # shingle array) was allocation-bound and anti-scaled with threads,
+    # like any per-element interpreted higher-order function.
+    # Duplicate shingles are harmless under min(), so no distinct pass.
+    t = F.lower(F.col("text"))
+    n = F.length(t)
+    sh = (docs.repartition(max(docs.sparkSession.sparkContext
+                               .defaultParallelism, 8))
+          .select("doc_id", t.alias("t"),
+                  F.explode(F.sequence(
+                      F.lit(1), F.greatest(n - (k - 1), F.lit(1))))
+                   .alias("i"))
+          .select("doc_id",
+                  F.pmod(F.xxhash64(F.col("t").substr(F.col("i"), F.lit(k))),
+                         F.lit(P)).alias("h")))
+    aggs = []
+    for j in range(num_hashes):
         a = 2 * j + 1 + 104729          # odd multipliers, fixed family
         b = (j * 7919 + 13) % P
-
-        def h(hv):
-            return F.pmod(F.lit(a) * hv + F.lit(b), F.lit(P))
-        return h
-
-    # small source files arrive as one input split; spread the hashing
-    sh = docs.repartition(max(docs.sparkSession.sparkContext
-                              .defaultParallelism, 8)) \
-             .select("doc_id", _shingles().alias("sh"))
-    base = F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
-    sh = sh.select("doc_id", base.alias("hs"))
-    sig = F.array(*[F.array_min(F.transform("hs", _perm(j)))
-                    for j in range(num_hashes)])
-    return sh.select("doc_id", sig.alias("sig"))
+        aggs.append(F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b),
+                                 F.lit(P))).alias(f"m{j}"))
+    g = sh.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"m{j}") for j in range(num_hashes)])
+    return g.select("doc_id", sig.alias("sig"))
 
 
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
