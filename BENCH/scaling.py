@@ -78,6 +78,25 @@ spark.stop()
 """
 
 
+STAGE = r"""
+import sys
+sys.path.insert(0, {src!r})
+from tstoken.session import get_spark
+from tstoken import synth
+spark = get_spark("stage", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+synth.stage_tokens_raw(spark, {rows}, n_sources=16)
+spark.stop()
+"""
+
+
+def stage(rows: int) -> None:
+    """Write the shared input once at full parallelism, so the
+    low-thread measurement children never pay generation cost."""
+    code = STAGE.format(src=os.path.join(REPO, "src"), rows=rows)
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
+
+
 def run(cpus: int, rows: int, iters: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, rows=rows, iters=iters)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -142,6 +161,7 @@ def main():
     else:
         rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
         iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        stage(rows)
         res = {}
         for cpus in (2, 8, 32):
             res[cpus] = run(cpus, rows, iters)

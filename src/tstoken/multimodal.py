@@ -46,6 +46,13 @@ def decode_image(payload: bytes):
         "container; use fake_features for pipeline tests")
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    """STUB: real implementation needs Pillow (absent here)."""
+    raise NotImplementedError(
+        "image resize requires an image library not present in this "
+        "container; the Spark-side plumbing is extract_features")
+
+
 def sample_video_frames(payload: bytes, every_ms: int = 1000):
     """STUB: real implementation needs ffmpeg/pyav (absent here)."""
     raise NotImplementedError("video frame sampling requires ffmpeg/pyav")
