@@ -509,6 +509,17 @@ def detect_outliers_latest_stl(df):
                    empty_msg="No outliers found.")
 
 
+def detect_outliers_today_mstl(df, now=None):
+    """(catch.py:1450-1484) with injectable clock."""
+    return _latest(detect_outliers_mstl(df, sentinel=False), now, True)
+
+
+def detect_outliers_latest_mstl(df):
+    """(catch.py:1487-1505)."""
+    return _latest(detect_outliers_mstl(df, sentinel=False), None, False,
+                   empty_msg="No outliers found.")
+
+
 def detect_outliers_today_esd(df, now=None):
     return _latest(detect_outliers_esd(df, sentinel=False), now, True)
 
@@ -539,3 +550,22 @@ def build_decomposition_results(df: pd.DataFrame) -> pd.DataFrame | None:
         {"seasonal": chosen.seasonal, "trend": chosen.trend,
          "residuals": chosen.resid, "actual_values": chosen.observed},
         index=df_pandas.index)
+
+
+# ------------------------------------------------- stationarity check
+
+def conduct_stationarity_check(df):
+    """ADF + KPSS diagnostics with the reference's printed verdicts
+    (diagnostics.py:262-319); returns the verdict dict for callers who
+    want data instead of stdout."""
+    from .stats.stationarity import stationarity_verdicts
+
+    df_pandas = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    series = pd.to_numeric(df_pandas.iloc[:, -1]).to_numpy(dtype=np.float64)
+    v = stationarity_verdicts(series)
+    print("ADF - The series is %sStationary"
+          % ("" if v["adf_stationary"] else "not "))
+    print()
+    print("KPSS - The series is %sStationary"
+          % ("" if v["kpss_stationary"] else "not "))
+    return v

@@ -370,3 +370,54 @@ class TestBuildDecompositionResults:
             "date": pd.date_range("2022-01-01", periods=100, freq="D"),
             "count": np.arange(100.0)})
         assert compat.build_decomposition_results(df) is None
+
+
+class TestTodayLatestMstl:
+    """Reference catch.py:1450-1505 wrappers."""
+
+    def _df(self):
+        dates = pd.date_range("2023-01-01", periods=740, freq="D")
+        rng = np.random.default_rng(9)
+        vals = 100 + 10 * np.sin(2 * np.pi * np.arange(740) / 7) \
+            + rng.normal(0, 2, 740)
+        vals[-1] = 500.0
+        return pd.DataFrame({"dt": dates, "cnt": vals})
+
+    def test_latest_mstl_returns_last_outlier(self):
+        from tstoken.compat import detect_outliers_latest_mstl
+        r = detect_outliers_latest_mstl(self._df())
+        assert isinstance(r, pd.DataFrame) and len(r) == 1
+        assert float(r.iloc[-1, -1]) == 500.0
+
+    def test_today_mstl_respects_injected_clock(self):
+        from tstoken.compat import detect_outliers_today_mstl
+        df = self._df()
+        hit = detect_outliers_today_mstl(df, now=pd.Timestamp("2025-01-09"))
+        miss = detect_outliers_today_mstl(df, now=pd.Timestamp("2030-06-01"))
+        assert isinstance(hit, pd.DataFrame)
+        assert miss == "No Outliers Today!"
+
+
+class TestConductStationarityCheck:
+    """Reference diagnostics.py:262-319."""
+
+    def test_prints_verdicts_and_returns_dict(self, capsys):
+        from tstoken.compat import conduct_stationarity_check
+        dates = pd.date_range("2023-01-01", periods=400, freq="D")
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"dt": dates, "cnt": rng.normal(100, 5, 400)})
+        v = conduct_stationarity_check(df)
+        out = capsys.readouterr().out
+        assert "ADF - The series is Stationary" in out
+        assert "KPSS - The series is Stationary" in out
+        assert v["adf_stationary"] and v["kpss_stationary"]
+
+    def test_random_walk_flagged_not_stationary(self, capsys):
+        from tstoken.compat import conduct_stationarity_check
+        dates = pd.date_range("2023-01-01", periods=600, freq="D")
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"dt": dates,
+                           "cnt": np.cumsum(rng.normal(0, 1, 600)) + 100})
+        v = conduct_stationarity_check(df)
+        assert not v["adf_stationary"]
+        assert "ADF - The series is not Stationary" in capsys.readouterr().out
