@@ -646,6 +646,38 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
 
+    # LSH top-k oracle: regenerate the SAME deterministic hyperplanes
+    # (numpy default_rng seeds 42..49) as SQL literals; signature =
+    # sum(2^i * [dot > 0]); candidates share any table's signature;
+    # exact cosine re-rank of candidates.
+    from tstoken.simsearch import _hyperplanes
+    table_sigs = []
+    for t in range(8):
+        planes = _hyperplanes(64, 8, seed=42 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}"
+            f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        table_sigs.append(f"({bits}) AS sig{t}")
+    sig_cols = ",\n    ".join(table_sigs)
+    sig_match = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(8))
+    lsh = f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v,
+    {sig_cols}
+  FROM ev),
+q AS (SELECT * FROM sigs WHERE vec_id < 20),
+cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id, q.v AS qv, e.v AS ev
+         FROM sigs e JOIN q ON ({sig_match})
+         WHERE e.vec_id <> q.vec_id),
+scored AS (SELECT qid, vec_id,
+    round(list_cosine_similarity(ev, qv), 6) AS cosine FROM cand)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5"""
+
     tok_cte = _tok_cte()
     tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
     tok_1d = f"""WITH {tok_cte}
@@ -719,6 +751,7 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "doc_fingerprint": fp,
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": cosine,
+        "emb_lsh_topk": lsh,
         "tok_rollup_1m": tok_1m,
         "tok_rollup_1h": tok_1h,
         "tok_rollup_1d": tok_1d,
@@ -727,10 +760,12 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_mad_flags": tok_mad,
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
-        # rows-only (non-SQL-expressible: xxhash64-based LSH, STL/MSTL/
-        # ESD decomposition, Gorilla codec, mapInPandas media stubs,
-        # 61-bit modular rolling hash):
+        # rows-only (non-SQL-expressible: xxhash64-based minhash/simhash
+        # banding, STL/MSTL/ESD decomposition + OLS stationarity,
+        # Gorilla codec, mapInPandas media stubs, 61-bit wraparound
+        # rolling hash):
         # doc_rolling_hash, doc_minhash_pairs, doc_simhash_pairs,
-        # emb_lsh_topk, tok_stl_flags, tok_classic_flags, tok_mstl_flags,
-        # tok_esd_flags, tok_ma_flags, tok_compress_blocks, media_features
+        # tok_stl_flags, tok_classic_flags, tok_mstl_flags,
+        # tok_esd_flags, tok_ma_flags, tok_stationarity,
+        # tok_compress_blocks, media_features
     }
