@@ -279,6 +279,21 @@ def _tok_mad_flags(spark, sf_dir) -> DataFrame:
                     F.round("score", 6).alias("mscore")))
 
 
+def _tok_mad_ratio_flags(spark, sf_dir) -> DataFrame:
+    """MAD fences on tokens-per-doc (sum_n_tok/n_docs) — the ratio
+    cancels doc-arrival noise on sparse sources; engine-native feature
+    over existing rollup columns, reference MAD semantics."""
+    from tstoken.detect import mad_flags
+    t1m = _tok_rollup_1m(spark, sf_dir).withColumn(
+        "avg_n_tok", F.col("sum_n_tok").cast("double") / F.col("n_docs"))
+    fl = mad_flags(t1m, value_col="avg_n_tok")
+    return (fl.join(t1m.select("source", "bucket_ts",
+                               F.round("avg_n_tok", 6).alias("avg_n_tok")),
+                    ["source", "bucket_ts"])
+            .select("source", "bucket_ts", "avg_n_tok", "is_outlier",
+                    F.round("score", 6).alias("mscore")))
+
+
 def _tok_gapfill_1m(spark, sf_dir) -> DataFrame:
     from tstoken.gapfill import gap_fill
     from tstoken.rollup import rollup_1m
@@ -383,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_retention_1m": _tok_retention_1m,
         "tok_zscore_flags": _tok_zscore_flags,
         "tok_mad_flags": _tok_mad_flags,
+        "tok_mad_ratio_flags": _tok_mad_ratio_flags,
         "tok_gapfill_1m": _tok_gapfill_1m,
         "tok_iqr_flags": _tok_iqr_flags,
         "tok_stl_flags": _tok_grouped("stl"),
@@ -697,6 +713,20 @@ SELECT t.source, t.bucket_ts, t.sum_n_tok,
   round(CASE WHEN s.sd > 0 THEN abs((t.sum_n_tok - s.mu) / s.sd)
         ELSE 0.0 END, 4) AS z
 FROM tok1m t JOIN s ON t.source = s.source"""
+    tok_mad_ratio = f"""WITH {tok_cte},
+r AS (SELECT source, bucket_ts,
+        sum_n_tok::DOUBLE / n_docs AS avg_n_tok FROM tok1m),
+m AS (SELECT source, quantile_cont(avg_n_tok, 0.5) med FROM r GROUP BY 1),
+d AS (SELECT r.source, r.bucket_ts, r.avg_n_tok,
+             abs(r.avg_n_tok - m.med) AS absdev
+      FROM r JOIN m ON r.source = m.source),
+md AS (SELECT source, quantile_cont(absdev, 0.5) mad FROM d GROUP BY 1)
+SELECT d.source, d.bucket_ts, round(d.avg_n_tok, 6) AS avg_n_tok,
+  (CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END) > 3.5 AS is_outlier,
+  round(CASE WHEN md.mad > 0 THEN 0.6745 * d.absdev / md.mad
+        WHEN d.absdev > 0 THEN 1e308 ELSE 0.0 END, 6) AS mscore
+FROM d JOIN md ON d.source = md.source"""
     tok_mad = f"""WITH {tok_cte},
 m AS (SELECT source, quantile_cont(sum_n_tok, 0.5) med FROM tok1m GROUP BY 1),
 d AS (SELECT t.source, t.bucket_ts, t.sum_n_tok,
@@ -758,6 +788,7 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_retention_1m": tok_retention,
         "tok_zscore_flags": tok_zscore,
         "tok_mad_flags": tok_mad,
+        "tok_mad_ratio_flags": tok_mad_ratio,
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
         # rows-only (non-SQL-expressible: xxhash64-based minhash/simhash

@@ -61,6 +61,8 @@ def main() -> dict:
     # token-engine pipeline (the north-rule metric): measured over a
     # STAGED parquet table (the stored-table read path — the 10^12-row
     # production shape), not fused inline generation
+    from pyspark.sql import functions as F
+
     from tstoken import detect, gapfill, rollup, synth
     staged = synth.stage_tokens_raw(spark, bench_rows,
                                     n_sources=bench_sources)
@@ -114,8 +116,29 @@ def main() -> dict:
     n_truth = gt.count()
     f1s = {}
     stl_fl = detect.grouped_flags(gf, "1m", "stl")
-    for name, fl in (("iqr", iqr_fl), ("mad", mad_fl), ("stl", stl_fl)):
+    # gap-filled zero buckets are data-quality signals carried by the
+    # gap_filled column, not statistical anomalies — and the generator
+    # never plants an anomaly on a gapped minute — so they are excluded
+    # from detector predictions (they'd be guaranteed false positives)
+    gaps = gf.filter("gap_filled").select("source", "bucket_ts")
+    stlz_fl = detect.grouped_flags(gf, "1m", "stl_z")
+    # ratio feature: tokens-per-doc cancels doc-arrival (Poisson) noise
+    # on sparse sources; the planted anomalies multiply per-doc token
+    # counts, so avg_n_tok carries the clean signal (engine columns
+    # sum_n_tok/n_docs — no extra scan)
+    gfr = gf.withColumn(
+        "avg_n_tok",
+        F.when(F.col("n_docs") > 0,
+               F.col("sum_n_tok").cast("double") / F.col("n_docs"))
+        .otherwise(F.lit(0.0)))
+    mad_avg_fl = detect.mad_flags(gfr, value_col="avg_n_tok")
+    stlz_avg_fl = detect.grouped_flags(gfr, "1m", "stl_z",
+                                       value_col="avg_n_tok")
+    for name, fl in (("iqr", iqr_fl), ("mad", mad_fl), ("stl", stl_fl),
+                     ("stl_z", stlz_fl), ("mad_avg", mad_avg_fl),
+                     ("stl_z_avg", stlz_avg_fl)):
         pred = (fl.filter("is_outlier").select("source", "bucket_ts")
+                .join(gaps, ["source", "bucket_ts"], "left_anti")
                 .distinct().cache())
         n_pred = pred.count()
         tp = pred.join(gt, ["source", "bucket_ts"], "left_semi").count()

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BooleanType, DoubleType, StringType,
                                StructField, StructType, TimestampType)
 
-from .rollup import TIER_PERIOD
+from .rollup import TIER_MSTL_PERIODS, TIER_PERIOD
 
 FLAG_SCHEMA = StructType([
     StructField("source", StringType()),
@@ -190,7 +190,8 @@ def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
 
 # ------------------------------------------- grouped Arrow-UDF detectors
 
-def _series_detector(method: str, period: int):
+def _series_detector(method: str, period: int,
+                     mstl_periods: tuple | None = None):
     """Build the per-group pandas function for applyInPandas.
 
     Each group is one source's rolled series — bounded by bucket count
@@ -233,9 +234,36 @@ def _series_detector(method: str, period: int):
                 else:
                     s = mad_scores(resid)
                     flags, score = s > 3.5, s
+            elif method == "stl_z":
+                # engine-native: STL residuals + fixed |z| > 2 (the
+                # reference's normal-residuals branch, K6, applied
+                # unconditionally). On heavy-tailed residuals the
+                # MC-Shapiro gate always routes to MAD whose modified
+                # z explodes against a tiny robust scale; the plain
+                # z-score stays calibrated. Threshold is the
+                # reference's own (catch.py:1156), not tuned.
+                resid = stl_fit(x, period=period,
+                                seasonal=period + (period % 2 == 0)).resid
+                if compat._degenerate_decomposition(resid, x):
+                    raise ValueError("degenerate decomposition")
+                z = np.abs(_zs(resid))
+                flags, score = z > 2.0, z
+            elif method == "stl_mad":
+                # engine-native (no reference counterpart): STL
+                # residuals scored with the robust MAD fence
+                # unconditionally. The reference's dispersion gate
+                # (K6) picks |z|>2 when residuals look normal, which
+                # flags ~2.5% of ANY series; skipping the gate keeps
+                # STL's recall at MAD's precision.
+                resid = stl_fit(x, period=period,
+                                seasonal=period + (period % 2 == 0)).resid
+                if compat._degenerate_decomposition(resid, x):
+                    raise ValueError("degenerate decomposition")
+                s = mad_scores(resid)
+                flags, score = s > 3.5, s
             elif method == "mstl":
                 from .stats.mstl import mstl_fit
-                periods = (period, period * 7) if period >= 24 else (period,)
+                periods = mstl_periods or (period,)
                 usable = tuple(p for p in periods if n > 2 * p)
                 resid = mstl_fit(x, periods=usable or (period,)).resid
                 if compat._degenerate_decomposition(resid, x):
@@ -288,7 +316,8 @@ def grouped_flags(rollup: DataFrame, tier: str, method: str,
     src = rollup.select("source", "bucket_ts",
                         F.col(value_col).cast("double").alias("value"))
     return src.groupBy("source").applyInPandas(
-        _series_detector(method, period), schema=FLAG_SCHEMA)
+        _series_detector(method, period, TIER_MSTL_PERIODS.get(tier)),
+        schema=FLAG_SCHEMA)
 
 
 def all_flags(rollup: DataFrame, tier: str,

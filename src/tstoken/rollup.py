@@ -30,6 +30,10 @@ TIER_ORDER = ["1m", "1h", "1d"]
 # seasonal period per tier for decomposition detectors (SURVEY.md K11:
 # fixed tiers ⇒ static period table — 1m→hourly cycle, 1h→daily, 1d→weekly)
 TIER_PERIOD = {"1m": 60, "1h": 24, "1d": 7}
+# multi-seasonal periods per tier (reference MSTL period tuples,
+# catch.py:1231-1277, transposed to the fixed tiers: the 1m tier sees
+# hourly + daily cycles, 1h daily + weekly, 1d weekly + yearly)
+TIER_MSTL_PERIODS = {"1m": (60, 1440), "1h": (24, 168), "1d": (7, 365)}
 
 ROLLUP_COLUMNS = ["source", "bucket_ts", "n_docs", "sum_n_tok",
                   "min_n_tok", "max_n_tok", "sum_tok_sq", "gap_filled"]
