@@ -224,3 +224,34 @@ class TestRetention:
         lo_allowed = now - timedelta(hours=6)
         assert kept.filter(F.col("bucket_ts") < F.lit(lo_allowed)).count() == 0
         assert kept.count() < t1m.count()
+
+
+class TestEngineDetectorVariants:
+    @pytest.fixture(scope="class")
+    def gf(self, spark, t1m):
+        df = gapfill.gap_fill(t1m, "1m").cache()
+        df.count()
+        yield df
+        df.unpersist()
+
+    def test_stl_z_flags_planted_anomalies(self, spark, gf):
+        fl = detect.grouped_flags(gf, "1m", "stl_z").toPandas()
+        assert set(fl["method"]) == {"stl_z"}
+        gt = synth.ground_truth(spark, ROWS, n_sources=SOURCES).toPandas()
+        have = set(zip(fl["source"], pd.to_datetime(fl["bucket_ts"])))
+        truth = set(zip(gt["source"], pd.to_datetime(gt["bucket_ts"]))) & have
+        flagged = set(zip(fl.loc[fl.is_outlier, "source"],
+                          pd.to_datetime(fl.loc[fl.is_outlier, "bucket_ts"])))
+        rec = len(truth & flagged) / max(len(truth), 1)
+        assert rec >= 0.6, rec
+
+    def test_stl_mad_runs_and_flags_subset_shape(self, spark, gf):
+        fl = detect.grouped_flags(gf, "1m", "stl_mad").toPandas()
+        assert len(fl) == gf.count()
+        assert fl["is_outlier"].dtype == bool
+
+    def test_stationarity_check_runs_per_source(self, spark, t1m):
+        st = detect.stationarity_check(t1m).toPandas()
+        assert len(st) == SOURCES
+        assert set(st.columns) >= {"source", "adf_stat", "adf_stationary",
+                                   "kpss_stat", "kpss_stationary"}
