@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
@@ -31,6 +33,50 @@ if _SRC not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# ------------------------------------------------- executor packaging
+#
+# The harness builds its own vanilla SparkSession, so the engine's
+# PYTHONPATH fix in tstoken.session never applies and every
+# applyInPandas/mapInPandas stage would die worker-side with
+# `ModuleNotFoundError: No module named 'tstoken'`. Ship the package
+# to executors exactly like `spark-submit --py-files`: zip src/tstoken
+# once per process and sc.addPyFile it once per SparkContext (addPyFile
+# works after session start and propagates to every Python worker).
+
+_ZIP_PATH: str | None = None
+_SHIPPED: set[str] = set()
+
+
+def _tstoken_zip() -> str:
+    global _ZIP_PATH
+    if _ZIP_PATH is None or not os.path.exists(_ZIP_PATH):
+        d = tempfile.mkdtemp(prefix="tstoken_pyfiles_")
+        zpath = os.path.join(d, "tstoken.zip")
+        pkg = os.path.join(_SRC, "tstoken")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg):
+                for fname in sorted(files):
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        z.write(full, os.path.relpath(full, _SRC))
+        _ZIP_PATH = zpath
+    return _ZIP_PATH
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key not in _SHIPPED:
+        sc.addPyFile(_tstoken_zip())
+        _SHIPPED.add(key)
+
+
+def _shipped(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+    return wrapped
 
 TOK_ROWS = 30_000
 TOK_SOURCES = 4
@@ -359,6 +405,7 @@ def _media_features(spark, sf_dir) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hourly rollup of events + gap-fill + IQR flags at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_shipped(spark)
     from tstoken.detect import iqr_flags
     gf = _ev_gapfill(spark, sf_dir)
     fl = iqr_flags(gf, value_col="n_events")
@@ -410,14 +457,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_compress_blocks": _tok_compress,
         "media_features": _media_features,
     }
-    return q
+    return {name: _shipped(fn) for name, fn in q.items()}
 
 
 # ------------------------------------------------------------- oracles
 
 def _tok_cte() -> str:
     """DuckDB CTE regenerating the synthetic token table's scalar
-    columns (doc-level) — exact integer mixing per tstoken.synth."""
+    columns (doc-level) — exact integer mixing per tstoken.synth.
+
+    Every sum() is cast ::BIGINT: DuckDB sum(BIGINT) returns HUGEINT,
+    which pandas widens to float64 while Spark stays int64 — the
+    driver's value hash is dtype-sensitive (round-1 verdict #2)."""
     from tstoken.synth import rows_per_source
     counts = rows_per_source(TOK_ROWS, TOK_SOURCES)
     vals = ", ".join(
@@ -452,12 +503,12 @@ tok1m AS (
     TIMESTAMP '2024-01-01 00:00:00' + (minute * 60) * INTERVAL 1 SECOND
       AS bucket_ts,
     count(*) AS n_docs,
-    sum(n_tok::BIGINT) AS sum_n_tok,
+    sum(n_tok::BIGINT)::BIGINT AS sum_n_tok,
     min(n_tok) AS min_n_tok,
     max(n_tok) AS max_n_tok,
     sum((SELECT sum(((1000003 * (seq * 131 + u.i) + 17) % 50257)
                * ((1000003 * (seq * 131 + u.i) + 17) % 50257))
-         FROM unnest(generate_series(0, n_tok - 1)) u(i))) AS sum_tok_sq
+         FROM unnest(generate_series(0, n_tok - 1)) u(i)))::BIGINT AS sum_tok_sq
   FROM docs_tok GROUP BY 1, 2
 )"""
 
@@ -698,9 +749,9 @@ SELECT qid, vec_id, cosine, rank FROM (
     tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
     tok_1d = f"""WITH {tok_cte}
 SELECT source, date_trunc('day', bucket_ts) AS bucket_ts,
-  sum(n_docs) AS n_docs, sum(sum_n_tok) AS sum_n_tok,
+  sum(n_docs)::BIGINT AS n_docs, sum(sum_n_tok)::BIGINT AS sum_n_tok,
   min(min_n_tok) AS min_n_tok, max(max_n_tok) AS max_n_tok,
-  sum(sum_tok_sq) AS sum_tok_sq
+  sum(sum_tok_sq)::BIGINT AS sum_tok_sq
 FROM tok1m GROUP BY 1, 2"""
     tok_retention = f"""WITH {tok_cte}
 SELECT * FROM tok1m WHERE bucket_ts >= TIMESTAMP '2024-01-01 12:00:00'"""
@@ -741,16 +792,17 @@ SELECT d.source, d.bucket_ts, d.sum_n_tok,
 FROM d JOIN md ON d.source = md.source"""
     tok_1h = f"""WITH {tok_cte}
 SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
-  sum(n_docs) AS n_docs, sum(sum_n_tok) AS sum_n_tok,
+  sum(n_docs)::BIGINT AS n_docs, sum(sum_n_tok)::BIGINT AS sum_n_tok,
   min(min_n_tok) AS min_n_tok, max(max_n_tok) AS max_n_tok,
-  sum(sum_tok_sq) AS sum_tok_sq
+  sum(sum_tok_sq)::BIGINT AS sum_tok_sq
 FROM tok1m GROUP BY 1, 2"""
     tok_gap = f"""WITH {tok_cte},
 b AS (SELECT source, min(bucket_ts) lo, max(bucket_ts) hi FROM tok1m GROUP BY 1),
 spine AS (SELECT b.source, u.bucket_ts
           FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) u(bucket_ts))
-SELECT s.source, s.bucket_ts, coalesce(t.n_docs, 0) AS n_docs,
-  coalesce(t.sum_n_tok, 0) AS sum_n_tok, t.n_docs IS NULL AS gap_filled
+SELECT s.source, s.bucket_ts, coalesce(t.n_docs, 0)::BIGINT AS n_docs,
+  coalesce(t.sum_n_tok, 0)::BIGINT AS sum_n_tok,
+  t.n_docs IS NULL AS gap_filled
 FROM spine s LEFT JOIN tok1m t
   ON s.source = t.source AND s.bucket_ts = t.bucket_ts"""
     tok_iqr = f"""WITH {tok_cte},

@@ -45,11 +45,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class for strict comparison. The driver's value
+    hash is dtype-sensitive (round-1 verdict: DuckDB HUGEINT → pandas
+    float64 vs Spark int64 failed 8 value-exact queries), so a
+    float-vs-int divergence must FAIL here even though normalize()
+    would mask it."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if len(a) != len(b):
         return f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    for c in sorted(a.columns):
+        ka, kb = dtype_kind(a[c]), dtype_kind(b[c])
+        if ka != kb:
+            return (f"col {c}: dtype kind mismatch spark={a[c].dtype} "
+                    f"({ka}) vs oracle={b[c].dtype} ({kb}) — would fail "
+                    f"the driver's dtype-sensitive hash")
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
@@ -71,9 +94,26 @@ def main():
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
     import __spark_entry__ as entrymod
-    from tstoken.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check_oracles", master="local[8]")
+    # Reproduce the DRIVER's environment faithfully: a vanilla session
+    # with no tstoken on the worker PYTHONPATH (round-1 verdict #1 —
+    # tstoken.session's PYTHONPATH fix masked 7 worker-side
+    # ModuleNotFoundError crashes from this checker). Executor shipping
+    # must come from __spark_entry__._ensure_shipped alone.
+    src_abs = os.path.join(REPO, "src")
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+             if p and os.path.abspath(p) != src_abs]
+    if parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    else:
+        os.environ.pop("PYTHONPATH", None)
+    spark = (SparkSession.builder.appName("check_oracles")
+             .master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
