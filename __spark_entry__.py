@@ -673,6 +673,26 @@ FROM h"""
 
     fp = "SELECT doc_id, md5(text) AS md5 FROM documents"
 
+    # Karp-Rabin rolling hash (textops.fingerprint): h = fold over words
+    # of h*B + word_val (mod 2^31-1), word_val = fold over chars of
+    # acc*131 + codepoint (same modulus). Pure integer arithmetic, so
+    # DuckDB list_reduce reproduces it exactly; list_prepend(0, ...)
+    # supplies the fold's zero init (DuckDB list_reduce seeds from the
+    # first element).
+    rolling = f"""
+WITH w AS (SELECT doc_id, {_words_sql()} AS words FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(words, w ->
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(generate_series(1, length(w)),
+                           i -> ascii(substring(w, i, 1))::BIGINT)),
+          (acc, c) -> (acc * 131 + c) % 2147483647))),
+    (acc, wv) -> (acc * 1000003 + wv) % 2147483647) AS rolling_hash
+FROM w"""
+
     jaccard = f"""
 WITH base AS (SELECT doc_id, source, (length(text) // 16) AS lb,
                      list_distinct({wexpr}) AS wset
@@ -805,6 +825,56 @@ SELECT s.source, s.bucket_ts, coalesce(t.n_docs, 0)::BIGINT AS n_docs,
   t.n_docs IS NULL AS gap_filled
 FROM spine s LEFT JOIN tok1m t
   ON s.source = t.source AND s.bucket_ts = t.bucket_ts"""
+    # MA detector (detect.ma_flags over the gap-filled 1m tier): the
+    # ev_optimal_window CV-fold SQL extended with the w*-window
+    # full-series trailing MA + |z| > 2 flags. Self-joins on idx ranges
+    # stand in for the dynamic-width window frame SQL can't express.
+    tok_ma = f"""WITH {tok_cte},
+b AS (SELECT source, min(bucket_ts) lo, max(bucket_ts) hi FROM tok1m GROUP BY 1),
+spine AS (SELECT b.source, u.bucket_ts
+          FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) u(bucket_ts)),
+gap AS (SELECT s.source, s.bucket_ts, coalesce(t.sum_n_tok, 0)::DOUBLE AS v
+        FROM spine s LEFT JOIN tok1m t
+          ON s.source = t.source AND s.bucket_ts = t.bucket_ts),
+idx AS (SELECT source, bucket_ts, v,
+          (row_number() OVER (PARTITION BY source ORDER BY bucket_ts) - 1) AS idx,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM gap),
+folds AS (SELECT source, v, idx, (n // 6) AS tsz, (n - 5 * (n // 6)) AS strt
+          FROM idx),
+test AS (SELECT source, v, ((idx - strt) // tsz) AS fold,
+           row_number() OVER (PARTITION BY source, ((idx - strt) // tsz)
+                              ORDER BY idx) - 1 AS pos
+         FROM folds WHERE tsz >= 1 AND idx >= strt),
+ws AS (SELECT unnest(generate_series(2, 20)) AS w),
+cvma AS (SELECT a.source, a.fold, w.w, a.pos, a.v,
+              avg(b2.v) AS mav, count(*) AS cnt
+       FROM ws w CROSS JOIN test a JOIN test b2
+         ON a.source = b2.source AND a.fold = b2.fold
+        AND b2.pos BETWEEN a.pos - (w.w - 1) AND a.pos
+       GROUP BY 1, 2, 3, 4, 5),
+rmse AS (SELECT source, w, fold, sqrt(avg((v - mav) * (v - mav))) AS r
+         FROM cvma WHERE cnt = w GROUP BY 1, 2, 3),
+meanr AS (SELECT source, w, avg(r) AS mr FROM rmse GROUP BY 1, 2),
+wpick AS (SELECT source, w AS wstar FROM (
+  SELECT source, w,
+    row_number() OVER (PARTITION BY source ORDER BY mr ASC, w ASC) rk
+  FROM meanr) WHERE rk = 1),
+fullma AS (SELECT a.source, a.bucket_ts, wp.wstar,
+                  avg(b2.v) AS mav, count(*) AS cnt
+           FROM idx a JOIN wpick wp ON a.source = wp.source
+           JOIN idx b2 ON b2.source = a.source
+            AND b2.idx BETWEEN a.idx - (wp.wstar - 1) AND a.idx
+           GROUP BY a.source, a.bucket_ts, wp.wstar),
+m AS (SELECT source, bucket_ts,
+        CASE WHEN cnt = wstar THEN mav END AS ma FROM fullma),
+zs AS (SELECT source, avg(ma) mu, stddev_pop(ma) sd FROM m GROUP BY 1)
+SELECT m.source, m.bucket_ts, 'ma' AS method,
+  coalesce(CASE WHEN m.ma IS NULL THEN NULL
+                WHEN zs.sd > 0 THEN abs((m.ma - zs.mu) / zs.sd) > 2.0
+                ELSE FALSE END, FALSE) AS is_outlier
+FROM m JOIN zs ON m.source = zs.source"""
+
     tok_iqr = f"""WITH {tok_cte},
 f AS (SELECT source, quantile_cont(sum_n_tok, 0.25) q1,
              quantile_cont(sum_n_tok, 0.75) q3 FROM tok1m GROUP BY 1)
@@ -831,6 +901,7 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "doc_quality": quality,
         "doc_langid": langid,
         "doc_fingerprint": fp,
+        "doc_rolling_hash": rolling,
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": cosine,
         "emb_lsh_topk": lsh,
@@ -843,12 +914,12 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_mad_ratio_flags": tok_mad_ratio,
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
+        "tok_ma_flags": tok_ma,
         # rows-only (non-SQL-expressible: xxhash64-based minhash/simhash
         # banding, STL/MSTL/ESD decomposition + OLS stationarity,
-        # Gorilla codec, mapInPandas media stubs, 61-bit wraparound
-        # rolling hash):
-        # doc_rolling_hash, doc_minhash_pairs, doc_simhash_pairs,
+        # Gorilla codec, mapInPandas media stubs):
+        # doc_minhash_pairs, doc_simhash_pairs,
         # tok_stl_flags, tok_classic_flags, tok_mstl_flags,
-        # tok_esd_flags, tok_ma_flags, tok_stationarity,
+        # tok_esd_flags, tok_stationarity,
         # tok_compress_blocks, media_features
     }
