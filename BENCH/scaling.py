@@ -234,10 +234,23 @@ def main():
                 efficiency(res, 2, 8) / hw_2_8, 3),
             "normalized_efficiency_8_to_32": round(
                 efficiency(res, 8, 32) / hw_8_32, 3),
-            "criterion": ">= 0.8 (N to 4N)",
-            "pass_2_to_8": efficiency(res, 2, 8) / hw_2_8 >= 0.8,
-            "pass_8_to_32": efficiency(res, 8, 32) / hw_8_32 >= 0.8,
+            # record BOTH verdicts so downstream consumers can't
+            # mistake the hardware-normalized pass for the raw
+            # criterion (round-1 ADVICE): raw_pass applies ">= 0.8" to
+            # the measured N->4N efficiency alone; normalized_pass
+            # divides by the CPU-calibration hardware ceiling first.
+            "criterion":
+                ">= 0.8 (N to 4N), applied to the NORMALIZED efficiency"
+                " (raw efficiency / hw ceiling); raw_pass_* report the"
+                " raw criterion",
+            "raw_pass_2_to_8": efficiency(res, 2, 8) >= 0.8,
+            "raw_pass_8_to_32": efficiency(res, 8, 32) >= 0.8,
+            "normalized_pass_2_to_8": efficiency(res, 2, 8) / hw_2_8 >= 0.8,
+            "normalized_pass_8_to_32":
+                efficiency(res, 8, 32) / hw_8_32 >= 0.8,
         }
+        summary["pass_2_to_8"] = summary["normalized_pass_2_to_8"]
+        summary["pass_8_to_32"] = summary["normalized_pass_8_to_32"]
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(summary, f, indent=2)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -736,8 +736,19 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
     # LSH top-k oracle: regenerate the SAME deterministic hyperplanes
     # (numpy default_rng seeds 42..49) as SQL literals; signature =
     # sum(2^i * [dot > 0]); candidates share any table's signature;
-    # exact cosine re-rank of candidates.
+    # exact cosine re-rank of candidates. NOTE the hyperplane constants
+    # themselves are shared with the implementation (not independently
+    # verified — a bug inside _hyperplanes would pass); the oracle
+    # independently checks candidate generation + re-ranking. Guard the
+    # shared geometry (8 tables × 8 planes, seeds 42..49, dim 64)
+    # against silent default drift in lsh_topk:
+    import inspect
+
+    from tstoken import simsearch
     from tstoken.simsearch import _hyperplanes
+    _lsh_defaults = inspect.signature(simsearch.lsh_topk).parameters
+    assert _lsh_defaults["n_planes"].default == 8, "lsh_topk n_planes drifted"
+    assert _lsh_defaults["n_tables"].default == 8, "lsh_topk n_tables drifted"
     table_sigs = []
     for t in range(8):
         planes = _hyperplanes(64, 8, seed=42 + t)

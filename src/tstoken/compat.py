@@ -342,8 +342,15 @@ def _degenerate_decomposition(residuals: np.ndarray, x: np.ndarray) -> bool:
     clean = residuals[~np.isnan(residuals)]
     if clean.size == 0:
         return True
-    vx = np.var(np.asarray(x, dtype=np.float64))
-    return bool(np.var(clean) <= 1e-12 * max(vx, 1e-300))
+    xf = np.asarray(x, dtype=np.float64)
+    vx = np.var(xf)
+    # second term: a CONSTANT series has vx = 0, but LOESS leaves
+    # fp-noise residuals proportional to the series magnitude — scale
+    # the floor by rms(x) so flat series are recognized as degenerate
+    # instead of having their fp residue z-scored (round-2 fix)
+    rms = np.sqrt(np.mean(np.square(xf))) if xf.size else 0.0
+    thresh = max(1e-12 * vx, (1e-10 * rms) ** 2, 1e-300)
+    return bool(np.var(clean) <= thresh)
 
 
 def _dispersion_flags(df: pd.DataFrame, residuals: np.ndarray) -> pd.DataFrame:

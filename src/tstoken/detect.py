@@ -190,13 +190,27 @@ def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
 
 # ------------------------------------------- grouped Arrow-UDF detectors
 
+GROUPED_METHODS = ("iqr", "stl", "stl_z", "stl_mad", "mstl", "classic",
+                   "esd")
+
+
 def _series_detector(method: str, period: int,
                      mstl_periods: tuple | None = None):
     """Build the per-group pandas function for applyInPandas.
 
     Each group is one source's rolled series — bounded by bucket count
     (≤ ~10^5 points/tier), never raw rows (SURVEY.md §4.1).
+
+    When a decomposition kernel degenerates (constant series, zero
+    residual spread) the detector falls back to IQR fences and SAYS SO:
+    the output `method` column reads "iqr_fallback", never the
+    requested method (round-1 verdict #3 — a silent fallback would ship
+    wrong-but-plausible flags on a kernel regression). Only the known
+    degenerate path (ValueError) falls back; any other kernel error
+    propagates and fails the query loudly.
     """
+    if method not in GROUPED_METHODS:
+        raise ValueError(f"unknown method {method}")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from . import compat
@@ -219,9 +233,13 @@ def _series_detector(method: str, period: int,
             s = np.maximum(np.maximum(lo - x, x - hi), 0.0) / iqr
             return f, s
 
+        method_out = method
         try:
-            if method == "iqr" or n < 2 * period + 1:
+            if method == "iqr":
                 flags, score = iqr_fallback()
+            elif n < 2 * period + 1:
+                flags, score = iqr_fallback()
+                method_out = "iqr_fallback"
             elif method == "stl":
                 resid = stl_fit(x, period=period,
                                 seasonal=period + (period % 2 == 0)).resid
@@ -295,14 +313,15 @@ def _series_detector(method: str, period: int,
                 flags = np.zeros(n, dtype=bool)
                 flags[list(idx)] = True
                 score = flags.astype(np.float64)
-            else:
-                raise ValueError(f"unknown method {method}")
-        except Exception:
+        except ValueError:
+            # degenerate decomposition / zero-spread series only —
+            # other kernel exceptions propagate (see docstring)
             flags, score = iqr_fallback()
+            method_out = "iqr_fallback"
 
         return pd.DataFrame({
             "source": src, "bucket_ts": pdf["bucket_ts"],
-            "method": method, "is_outlier": flags,
+            "method": method_out, "is_outlier": flags,
             "score": np.nan_to_num(score, posinf=1e308, neginf=-1e308),
         })
 

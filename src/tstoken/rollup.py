@@ -86,28 +86,40 @@ def rollup_1m(raw: DataFrame, n_salts: int = 16) -> DataFrame:
     allocation-bound and anti-scales beyond ~8 threads in one JVM.
     Doc-level measures (count/sum/min/max of n_tok) piggyback on the
     same single scan via `pos = 0` guards, so the raw table is read
-    exactly once. `n_tok >= 1` always (generator invariant), so every
-    doc contributes one pos-0 element.
+    exactly once. Empty or null `tokens` arrays are padded with a
+    single null sentinel element before the explode so every doc still
+    contributes a pos-0 row — rollup_1m is the public ingest for
+    arbitrary tokens_raw tables, where zero-token docs are plausible
+    and must count toward n_docs (round-1 ADVICE; the synth generator's
+    `n_tok >= 1` invariant never exercises this).
 
     Phase 1 shuffles on (source, bucket_ts, salt) so a skewed source's
     rows spread over n_salts reducers; phase 2 combines the (tiny)
     partials. All measures are associative, so the result is exact.
     """
+    toks = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+    padded = F.when(F.size(toks) == 0,
+                    F.array(F.lit(None).cast("int"))).otherwise(toks)
     df = with_event_time(raw)
     df = (df
           .withColumn("bucket_ts", bucket_col(F.col("event_ts"), "1m"))
           .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
           .select("source", "bucket_ts", "salt", "n_tok",
-                  F.posexplode("tokens").alias("pos", "tok")))
+                  F.posexplode(padded).alias("pos", "tok")))
     first = F.col("pos") == 0
+    # F.sum skips the null sentinel tokens; coalesce covers the
+    # all-empty-docs group (sum over only-nulls -> null, must be 0).
+    # Per-group coalesce, NOT a per-token branch — the token stream is
+    # the hot loop.
     partial = (df.groupBy("source", "bucket_ts", "salt")
                .agg(F.sum(F.when(first, 1)).alias("n_docs"),
                     F.sum(F.when(first, F.col("n_tok").cast("long")))
                      .alias("sum_n_tok"),
                     F.min(F.when(first, F.col("n_tok"))).alias("min_n_tok"),
                     F.max(F.when(first, F.col("n_tok"))).alias("max_n_tok"),
-                    F.sum(F.col("tok").cast("long") * F.col("tok"))
-                     .alias("sum_tok_sq")))
+                    F.coalesce(
+                        F.sum(F.col("tok").cast("long") * F.col("tok")),
+                        F.lit(0).cast("long")).alias("sum_tok_sq")))
     final = (partial.groupBy("source", "bucket_ts")
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("sum_n_tok").alias("sum_n_tok"),

@@ -56,29 +56,43 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          prefilter_planes: int = 0,
+                         prefilter_tables: int = 8,
                          dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
     Exact all-pairs scoring (inherently quadratic — this is the oracle
-    baseline). With prefilter_planes > 0, candidate pairs are first
-    blocked on a shared random-hyperplane LSH signature (equi-join, not
-    a cross product) and only candidates are scored exactly — the
-    100TB path, trading recall near the threshold for a ~2^planes
-    join-fanout reduction. The cosine is rounded to 6 decimals BEFORE
-    the threshold compare so inclusion is reproducible across engines.
+    baseline). With prefilter_planes > 0, candidates are blocked on
+    BANDED multi-table LSH (a pair is a candidate if it agrees on all
+    r=prefilter_planes bits in ANY of T=prefilter_tables independent
+    tables — the OR-across-tables scheme lsh_topk uses), then only
+    candidates are scored exactly. Recall for a pair at cosine c is
+    1 - (1 - p^r)^T with p = 1 - arccos(c)/π; e.g. at c = 0.35
+    (p ≈ 0.61) r=8 gives p^r ≈ 2% per table, so a SINGLE table is
+    useless near the threshold while T=8 tables reach ≈15% there and
+    >99% for c ≥ 0.9 — size (r, T) for the recall/fanout point you
+    need (round-1 ADVICE: the old single-table prefilter was ≈p^r and
+    far harsher than documented). The cosine is rounded to 6 decimals
+    BEFORE the threshold compare so inclusion is reproducible across
+    engines.
     """
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("embedding").alias("vb"))
     if prefilter_planes > 0:
-        a = lsh_signature(a, "va", dim, prefilter_planes).withColumnRenamed(
-            "lsh_sig", "sig_a")
-        b = lsh_signature(b, "vb", dim, prefilter_planes).withColumnRenamed(
-            "lsh_sig", "sig_b")
-        pairs = a.join(b, (F.col("sig_a") == F.col("sig_b"))
-                       & (F.col("id_a") < F.col("id_b"))) \
-                 .drop("sig_a", "sig_b")
+        cand = None
+        for t in range(prefilter_tables):
+            sa = lsh_signature(a, "va", dim, prefilter_planes,
+                               seed=42 + t) \
+                .select("id_a", F.col("lsh_sig").alias("sig"))
+            sb = lsh_signature(b, "vb", dim, prefilter_planes,
+                               seed=42 + t) \
+                .select("id_b", F.col("lsh_sig").alias("sig"))
+            c = sa.join(sb, "sig").filter(F.col("id_a") < F.col("id_b")) \
+                  .select("id_a", "id_b")
+            cand = c if cand is None else cand.unionByName(c)
+        pairs = (cand.dropDuplicates(["id_a", "id_b"])
+                 .join(a, "id_a").join(b, "id_b"))
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = with_cosine(pairs, a_col="va", b_col="vb")

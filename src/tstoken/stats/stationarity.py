@@ -156,7 +156,12 @@ def kpss(x, nlags: str | int = "auto"):
         w = 1.0 - i / (lags + 1.0)
         s2 += 2.0 * w * float(resid[i:] @ resid[:-i]) / n
     S = np.cumsum(resid)
-    stat = float(S @ S) / (n * n * s2) if s2 > 0 else np.inf
+    # Zero long-run variance (constant / near-constant series): the
+    # KPSS null of level stationarity trivially holds, so report
+    # stat=0 → p=0.10 → stationary. statsmodels raises here instead;
+    # inf would clamp p to 0.01 and mislabel a flat series as
+    # non-stationary (round-1 ADVICE).
+    stat = float(S @ S) / (n * n * s2) if s2 > 0 else 0.0
     crit = {f"{int(p*100)}%" if p != 0.025 else "2.5%": q
             for p, q in _KPSS_C_CRIT}
     # statsmodels-style table interpolation; p clamped to [0.01, 0.10]

@@ -215,7 +215,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
-                      bands: int = 21, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 21, threshold: float = 0.5,
+                      io=None, sig_table: str = "minhash_sigs") -> DataFrame:
     """LSH near-dup pairs: band bucket-join → signature-agreement
     prefilter → exact shingle-Jaccard verification.
 
@@ -225,12 +226,24 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     cut by the minhash Jaccard ESTIMATE (fraction of agreeing signature
     slots — already computed, integer compares only) and only survivors
     pay for the exact array_intersect verification.
+
+    Signatures are materialized ONCE through a TableIO table (pass
+    `io`; a process-temp parquet TableIO is created otherwise) so the
+    self-join doesn't recompute shingle hashing on both sides AND the
+    materialization survives executor loss — localCheckpoint blocks
+    are executor-local and would kill a long LSH job mid-flight at
+    cluster scale (round-1 verdict #5).
     """
     rows_per_band = num_hashes // bands
-    # materialize signatures once — the LSH self-join would otherwise
-    # recompute the shingle hashing on both sides (at warehouse scale
-    # this is the "write sigs to a table" step)
-    sigs = minhash_signatures(docs, num_hashes).localCheckpoint()
+    if io is None:
+        import tempfile
+
+        from .tableio import TableIO
+        io = TableIO(docs.sparkSession,
+                     tempfile.mkdtemp(prefix="tstoken_sigs_"))
+    io.overwrite(sig_table, minhash_signatures(docs, num_hashes),
+                 partition_by=())
+    sigs = io.read(sig_table)
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -274,26 +287,34 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
 # ------------------------------------------------------------- SimHash
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over word tokens, via bit-vote aggregation in
-    higher-order functions (no Python, no UDF)."""
-    words = _words()
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # votes[i] = Σ over words of (bit i set ? +1 : -1); shift amounts
-    # must be static ints, so the 64 bit positions unroll at plan time
-    def _vote_fn(bit):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1))
-        return merge
+    """64-bit SimHash over word tokens: explode word hashes, then 64
+    native bit-vote sums under whole-stage codegen.
 
+    The previous formulation ran 64 interpreted `F.aggregate` lambdas
+    per row — the allocation-bound higher-order-function path that
+    anti-scales beyond ~8 threads (measured for rollup_1m, README).
+    Here the exploded (doc_id, xxhash64(word)) stream is aggregated
+    with plain conditional sums (votes[i] = Σ ±1 on bit i), exactly the
+    posexplode+codegen rewrite rollup_1m and minhash_signatures already
+    use. explode_outer keeps zero-word docs (simhash = 0, matching the
+    old empty-array fold)."""
+    h_raw = (docs.select("doc_id", F.explode_outer(_words()).alias("w"))
+             .select("doc_id",
+                     F.when(F.col("w").isNotNull(), F.xxhash64("w"))
+                      .alias("h")))
+    aggs = [
+        F.sum(F.when(F.col("h").isNull(), 0)
+               .when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"v{i}")
+        for i in range(64)]
+    g = h_raw.groupBy("doc_id").agg(*aggs)
     sh = F.lit(0).cast("long")
     for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(i))
         sh = sh.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            F.when(F.col(f"v{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
              .otherwise(F.lit(0).cast("long")))
-    return docs.select("doc_id", sh.alias("simhash"))
+    return g.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -216,3 +216,37 @@ class TestSimSearch:
         a = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
         recall = len(e & a) / len(e)
         assert recall >= 0.5, recall
+
+
+class TestTextOpsRound2:
+    def test_simhash_keeps_zero_word_docs(self, spark):
+        from tstoken.textops import simhash
+        docs = spark.createDataFrame(
+            [(1, "real words here", "en", "s1"), (2, "?!?! ---", "en", "s1")],
+            "doc_id long, text string, lang string, source string")
+        sh = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+        assert len(sh) == 2           # zero-word doc not dropped
+        assert sh[2] == 0             # all-zero votes -> simhash 0
+        assert sh[1] != 0
+
+    def test_neardup_banded_prefilter_subset_of_exact(self, spark):
+        import numpy as np
+
+        from tstoken.simsearch import cosine_neardup_pairs
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((30, 16))
+        # plant 5 near-identical pairs
+        vecs = np.vstack([base, base[:5] + rng.normal(0, 0.01, (5, 16))])
+        emb = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(len(vecs))],
+            "vec_id long, embedding array<double>")
+        exact = cosine_neardup_pairs(emb, threshold=0.9).toPandas()
+        pre = cosine_neardup_pairs(emb, threshold=0.9, prefilter_planes=4,
+                                   prefilter_tables=8, dim=16).toPandas()
+        ex = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+        pr = set(map(tuple, pre[["id_a", "id_b"]].to_numpy()))
+        assert pr <= ex               # prefilter never invents pairs
+        planted = {(i, 30 + i) for i in range(5)}
+        assert planted <= ex
+        # near-identical pairs (cos ~ 1) survive banded prefiltering
+        assert len(planted & pr) >= 4

@@ -255,3 +255,58 @@ class TestEngineDetectorVariants:
         assert len(st) == SOURCES
         assert set(st.columns) >= {"source", "adf_stat", "adf_stationary",
                                    "kpss_stat", "kpss_stationary"}
+
+
+class TestRound2Fixes:
+    """Round-2 verdict/advice fixes: empty-token docs in rollup_1m,
+    visible detector fallback, unknown-method validation."""
+
+    def test_rollup_counts_empty_and_null_token_docs(self, spark):
+        # rollup_1m is the public ingest for arbitrary tokens_raw
+        # tables: docs with [] or NULL tokens must still count toward
+        # n_docs (pre-fix they silently vanished from the posexplode)
+        rows = [("d-0", [3, 4], 2, "src-000"),
+                ("d-1", [], 0, "src-000"),
+                ("d-2", None, 0, "src-000")]
+        raw = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string")
+        out = rollup.rollup_1m(raw).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_docs"] == 3
+        assert r["sum_n_tok"] == 2
+        assert r["min_n_tok"] == 0 and r["max_n_tok"] == 2
+        assert r["sum_tok_sq"] == 9 + 16
+
+    @pytest.fixture(scope="class")
+    def const_series(self, spark):
+        from datetime import datetime, timedelta
+        rows = [("src-000", datetime(2024, 1, 1) + timedelta(minutes=i),
+                 7) for i in range(200)]
+        return spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, sum_n_tok long")
+
+    def test_degenerate_kernel_fallback_is_labeled(self, const_series):
+        # constant series -> degenerate STL decomposition -> IQR
+        # fallback, which must SAY SO in the method column instead of
+        # shipping flags labeled "stl" (round-1 verdict #3)
+        fl = detect.grouped_flags(const_series, "1m", "stl").toPandas()
+        assert set(fl["method"]) == {"iqr_fallback"}
+        assert not fl["is_outlier"].any()
+
+    def test_short_series_fallback_is_labeled(self, spark):
+        from datetime import datetime, timedelta
+        rows = [("src-000", datetime(2024, 1, 1) + timedelta(minutes=i),
+                 float(i % 5)) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, sum_n_tok double")
+        fl = detect.grouped_flags(df, "1m", "mstl").toPandas()
+        assert set(fl["method"]) == {"iqr_fallback"}
+
+    def test_explicit_iqr_is_not_labeled_fallback(self, const_series):
+        fl = detect.grouped_flags(const_series, "1m", "iqr").toPandas()
+        assert set(fl["method"]) == {"iqr"}
+
+    def test_unknown_method_raises_at_build_time(self, const_series):
+        with pytest.raises(ValueError, match="unknown method"):
+            detect.grouped_flags(const_series, "1m", "nope")

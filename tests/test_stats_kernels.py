@@ -279,3 +279,13 @@ class TestStationarity:
         _, _, _, _, crit = adfuller(rng.normal(0, 1, 5000))
         assert abs(crit["5%"] - (-2.862)) < 0.01
         assert abs(crit["1%"] - (-3.431)) < 0.01
+
+    def test_constant_series_kpss_stationary(self):
+        import numpy as np
+
+        from tstoken.stats.stationarity import kpss
+        stat, p, _lags, _crit = kpss(np.full(200, 3.0))
+        # zero long-run variance: level stationarity trivially holds
+        # (pre-fix: stat=inf -> p=0.01 -> mislabeled non-stationary)
+        assert stat == 0.0
+        assert p >= 0.05
