@@ -395,6 +395,31 @@ def _tok_compress(spark, sf_dir) -> DataFrame:
                          F.length("val_block").alias("val_bytes"))
 
 
+def _ev_monthwise(spark, sf_dir) -> DataFrame:
+    """Data half of the reference's month-wise box plot
+    (diagnostics.py:237-259): per-(source, month) box statistics of
+    daily event counts."""
+    from tstoken.diagnostics import monthwise_box
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type").alias("source"),
+                       F.date_trunc("day", "ts").alias("bucket_ts"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    return monthwise_box(daily)
+
+
+def _tok_decompose_1m(spark, sf_dir) -> DataFrame:
+    """Decomposition-tier export (reference build_decomposition_results,
+    diagnostics.py:322-388) over the 1m token rollup."""
+    from tstoken.diagnostics import decompose_tier
+    from tstoken.rollup import rollup_1m
+    d = decompose_tier(rollup_1m(_tok_raw(spark)), "1m")
+    return d.select("source", "bucket_ts",
+                    F.round("observed", 6).alias("observed"),
+                    F.round("seasonal", 6).alias("seasonal"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round("resid", 6).alias("resid"), "model")
+
+
 def _media_features(spark, sf_dir) -> DataFrame:
     from tstoken.multimodal import extract_features, synth_media
     feats = extract_features(synth_media(spark, 200))
@@ -453,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_mstl_flags": _tok_grouped("mstl"),
         "tok_esd_flags": _tok_grouped("esd"),
         "tok_ma_flags": _tok_ma_flags,
+        "ev_monthwise": _ev_monthwise,
+        "tok_decompose_1m": _tok_decompose_1m,
         "tok_stationarity": _tok_stationarity,
         "tok_compress_blocks": _tok_compress,
         "media_features": _media_features,
@@ -776,6 +803,29 @@ SELECT qid, vec_id, cosine, rank FROM (
                        ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= 5"""
 
+    monthwise = """
+WITH daily AS (SELECT event_type AS source, date_trunc('day', ts) AS bucket_ts,
+                      count(*) AS n_events FROM events GROUP BY 1, 2),
+v AS (SELECT source, date_trunc('month', bucket_ts) AS month,
+             n_events::DOUBLE AS v FROM daily),
+s AS (SELECT source, month, count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+        quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS median,
+        quantile_cont(v, 0.75) AS q3
+      FROM v GROUP BY 1, 2),
+w AS (SELECT v.source, v.month,
+        min(CASE WHEN v.v >= s.q1 - 1.5 * (s.q3 - s.q1) THEN v.v END)
+          AS whisker_lo,
+        max(CASE WHEN v.v <= s.q3 + 1.5 * (s.q3 - s.q1) THEN v.v END)
+          AS whisker_hi,
+        sum(CASE WHEN v.v < s.q1 - 1.5 * (s.q3 - s.q1)
+                  OR v.v > s.q3 + 1.5 * (s.q3 - s.q1)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_fliers
+      FROM v JOIN s ON v.source = s.source AND v.month = s.month
+      GROUP BY 1, 2)
+SELECT s.source, s.month, s.n, s.vmin, s.vmax, s.q1, s.median, s.q3,
+       w.whisker_lo, w.whisker_hi, w.n_fliers
+FROM s JOIN w ON s.source = w.source AND s.month = w.month"""
+
     tok_cte = _tok_cte()
     tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
     tok_1d = f"""WITH {tok_cte}
@@ -926,11 +976,12 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
         "tok_ma_flags": tok_ma,
+        "ev_monthwise": monthwise,
         # rows-only (non-SQL-expressible: xxhash64-based minhash/simhash
-        # banding, STL/MSTL/ESD decomposition + OLS stationarity,
-        # Gorilla codec, mapInPandas media stubs):
+        # banding, STL/classic/MSTL/ESD decomposition kernels + OLS
+        # stationarity, Gorilla codec, mapInPandas media stubs):
         # doc_minhash_pairs, doc_simhash_pairs,
         # tok_stl_flags, tok_classic_flags, tok_mstl_flags,
-        # tok_esd_flags, tok_stationarity,
+        # tok_esd_flags, tok_decompose_1m, tok_stationarity,
         # tok_compress_blocks, media_features
     }

@@ -538,6 +538,46 @@ def detect_outliers_latest_esd(df):
 
 # -------------------------------------------------- decomposition export
 
+def build_monthwise_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Data half of the reference's month-wise box plot
+    (`reference/src/pycatcher/diagnostics.py:237-259`): the tidy
+    (Month-Year, Count) frame seaborn draws, minus the plot (no
+    matplotlib in this sandbox). First column is parsed as the date,
+    second as the numeric count, exactly like the reference's
+    `df_month` construction."""
+    if not isinstance(df, pd.DataFrame):
+        df = df.toPandas()
+    out = pd.DataFrame({
+        "Month-Year": pd.to_datetime(df.iloc[:, 0]).dt.to_period("M"),
+        "Count": pd.to_numeric(df.iloc[:, 1]),
+    })
+    return out
+
+
+def build_monthwise_stats(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-month box statistics over the build_monthwise_frame output —
+    the numbers the box plot renders (quartiles, 1.5·IQR whiskers
+    clipped to data, flier count). Matches tstoken.diagnostics
+    .monthwise_box so the Spark tier and the pandas compat surface
+    agree."""
+    frame = build_monthwise_frame(df)
+
+    def stats(g: pd.Series) -> pd.Series:
+        q1, med, q3 = g.quantile([0.25, 0.5, 0.75], interpolation="linear")
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        inside = g[(g >= lo) & (g <= hi)]
+        return pd.Series({
+            "n": len(g), "vmin": g.min(), "vmax": g.max(),
+            "q1": q1, "median": med, "q3": q3,
+            "whisker_lo": inside.min() if len(inside) else np.nan,
+            "whisker_hi": inside.max() if len(inside) else np.nan,
+            "n_fliers": int(((g < lo) | (g > hi)).sum())})
+
+    return (frame.groupby("Month-Year")["Count"].apply(stats).unstack()
+            .reset_index())
+
+
 def build_decomposition_results(df: pd.DataFrame) -> pd.DataFrame | None:
     """4-column decomposition frame (diagnostics.py:322-388)."""
     df_pandas = _validate(df)

@@ -1,0 +1,168 @@
+"""Webapp mirror + data-only diagnostics tests (reference
+tests/test_webapp.py semantics; diagnostics.py:237-259, 322-388)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def app(tmp_path):
+    from tstoken.webapp import create_app, register_routes
+    app = create_app({
+        "TESTING": True,
+        "UPLOAD_FOLDER": str(tmp_path),
+        "ALLOWED_EXTENSIONS": ["csv"],
+        "SECRET_KEY": "test",
+    })
+    register_routes(app)
+    return app
+
+
+@pytest.fixture()
+def client(app):
+    return app.test_client()
+
+
+@pytest.fixture()
+def sample_csv_file(tmp_path):
+    p = tmp_path / "sample.csv"
+    p.write_text("col1,col2\n2024-11-01,2\n2024-11-02,2\n2024-11-03,10")
+    return p
+
+
+class TestWebapp:
+    def test_index(self, client):
+        r = client.get("/")
+        assert r.status_code == 200
+        assert b"Upload" in r.data
+
+    def test_upload_no_file(self, client):
+        r = client.post("/upload")
+        assert r.status_code == 200
+        data = r.get_json()
+        assert data["success"] is False
+        assert data["message"] == "No file selected"
+
+    def test_upload_invalid_file(self, client, tmp_path):
+        p = tmp_path / "sample.txt"
+        p.write_text("not a csv")
+        with open(p, "rb") as f:
+            r = client.post("/upload", data={"file": (f, "sample.txt")})
+        data = r.get_json()
+        assert data["success"] is False
+        assert data["message"] == \
+            "Invalid file type. Please upload a CSV file."
+
+    def test_upload_and_analyze(self, client, sample_csv_file):
+        with open(sample_csv_file, "rb") as f:
+            r = client.post("/upload", data={"file": (f, "sample.csv")})
+        data = r.get_json()
+        assert data is not None and data["success"] is True, data
+        summary = data["data"]["summary"]
+        assert summary["total_rows"] == 3
+        assert summary["columns_analyzed"] == ["col1", "col2"]
+
+    def test_file_saved(self, client, sample_csv_file, app):
+        from pathlib import Path
+        with open(sample_csv_file, "rb") as f:
+            client.post("/upload", data={"file": (f, "sample.csv")})
+        assert (Path(app.config["UPLOAD_FOLDER"]) / "sample.csv").exists()
+
+    def test_moving_average_method(self, client, tmp_path):
+        rng = np.random.default_rng(0)
+        p = tmp_path / "ma.csv"
+        dates = pd.date_range("2024-01-01", periods=60, freq="D")
+        vals = 10 + rng.integers(0, 3, 60)
+        vals[45] += 100
+        p.write_text("col1,col2\n" + "\n".join(
+            f"{d.date()},{v}" for d, v in zip(dates, vals)))
+        with open(p, "rb") as f:
+            r = client.post("/upload", data={"file": (f, "ma.csv"),
+                                             "method": "moving_average"})
+        data = r.get_json()
+        assert data["success"] is True, data
+
+
+class TestMonthwise:
+    def test_frame_matches_reference_shape(self):
+        from tstoken.compat import build_monthwise_frame
+        df = pd.DataFrame({
+            "d": pd.date_range("2024-01-01", periods=90, freq="D"),
+            "c": np.arange(90)})
+        out = build_monthwise_frame(df)
+        assert list(out.columns) == ["Month-Year", "Count"]
+        assert str(out["Month-Year"].dtype) == "period[M]"
+        assert out["Count"].sum() == np.arange(90).sum()
+
+    def test_stats_box_math(self):
+        from tstoken.compat import build_monthwise_stats
+        df = pd.DataFrame({
+            "d": pd.date_range("2024-01-01", periods=31, freq="D"),
+            "c": [10.0] * 30 + [1000.0]})
+        st = build_monthwise_stats(df)
+        assert len(st) == 1
+        r = st.iloc[0]
+        assert r["median"] == 10.0
+        assert r["n_fliers"] == 1
+        assert r["whisker_hi"] == 10.0      # flier excluded from whisker
+        assert r["vmax"] == 1000.0
+
+    def test_spark_monthwise_matches_pandas(self, spark):
+        from datetime import datetime, timedelta
+
+        from tstoken.compat import build_monthwise_stats
+        from tstoken.diagnostics import monthwise_box
+        rng = np.random.default_rng(3)
+        vals = rng.integers(5, 50, 120).astype(float)
+        base = datetime(2024, 1, 1)
+        rows = [("s1", base + timedelta(days=i), float(v))
+                for i, v in enumerate(vals)]
+        daily = spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, n_events double")
+        got = monthwise_box(daily).toPandas().sort_values("month") \
+            .reset_index(drop=True)
+        ref = build_monthwise_stats(pd.DataFrame({
+            "d": [r[1] for r in rows], "c": vals}))
+        assert len(got) == len(ref)
+        for col in ["q1", "median", "q3", "whisker_lo", "whisker_hi"]:
+            assert np.allclose(got[col].to_numpy(dtype=float),
+                               ref[col].to_numpy(dtype=float)), col
+        assert (got["n_fliers"].to_numpy()
+                == ref["n_fliers"].to_numpy(dtype=int)).all()
+
+
+class TestDecomposeTier:
+    def test_export_columns_and_reconstruction(self, spark):
+        from datetime import datetime, timedelta
+
+        from tstoken.diagnostics import decompose_tier
+        base = datetime(2024, 1, 1)
+        rows = []
+        for i in range(400):
+            v = 100 + 20 * np.sin(2 * np.pi * (i % 60) / 60.0) + (i * 0.05)
+            rows.append(("src-000", base + timedelta(minutes=i), float(v)))
+        t1m = spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, sum_n_tok double")
+        out = decompose_tier(t1m, "1m").toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+        assert len(out) == 400
+        assert set(out["model"]) <= {"additive", "multiplicative"}
+        mid = out.iloc[100:300]
+        if (out["model"] == "additive").all():
+            recon = mid["seasonal"] + mid["trend"] + mid["resid"]
+        else:
+            recon = mid["seasonal"] * mid["trend"] * mid["resid"]
+        assert np.allclose(recon, mid["observed"], rtol=1e-8)
+
+    def test_short_series_marked(self, spark):
+        from datetime import datetime, timedelta
+
+        from tstoken.diagnostics import decompose_tier
+        rows = [("s", datetime(2024, 1, 1) + timedelta(minutes=i), 1.0 * i)
+                for i in range(10)]
+        t1m = spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, sum_n_tok double")
+        out = decompose_tier(t1m, "1m").toPandas()
+        assert set(out["model"]) == {"too_short"}
+        assert out["seasonal"].isna().all()
