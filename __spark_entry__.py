@@ -340,6 +340,15 @@ def _tok_mad_ratio_flags(spark, sf_dir) -> DataFrame:
                     F.round("score", 6).alias("mscore")))
 
 
+def _tok_extrema_flags(spark, sf_dir) -> DataFrame:
+    """Engine-native extrema ensemble (detect.extrema_ensemble_flags):
+    mean-ratio MAD + detrended log-min/max order-statistic fences."""
+    from tstoken.detect import extrema_ensemble_flags
+    fl = extrema_ensemble_flags(_tok_rollup_1m(spark, sf_dir))
+    return fl.select("source", "bucket_ts", "method", "is_outlier",
+                     F.round("score", 4).alias("score"))
+
+
 def _tok_gapfill_1m(spark, sf_dir) -> DataFrame:
     from tstoken.gapfill import gap_fill
     from tstoken.rollup import rollup_1m
@@ -471,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_zscore_flags": _tok_zscore_flags,
         "tok_mad_flags": _tok_mad_flags,
         "tok_mad_ratio_flags": _tok_mad_ratio_flags,
+        "tok_extrema_flags": _tok_extrema_flags,
         "tok_gapfill_1m": _tok_gapfill_1m,
         "tok_iqr_flags": _tok_iqr_flags,
         "tok_stl_flags": _tok_grouped("stl"),
@@ -886,6 +896,50 @@ SELECT s.source, s.bucket_ts, coalesce(t.n_docs, 0)::BIGINT AS n_docs,
   t.n_docs IS NULL AS gap_filled
 FROM spine s LEFT JOIN tok1m t
   ON s.source = t.source AND s.bucket_ts = t.bucket_ts"""
+    # extrema ensemble (detect.extrema_ensemble_flags over the 1m
+    # tier): three MAD fences — mean ratio, detrended log-min (spike
+    # side), detrended log-max (dip side, negative only, deep
+    # threshold) — OR-ed; score = greatest modified-z.
+    def _mad_cte(tag: str, col: str) -> str:
+        return f"""
+m_{tag} AS (SELECT source, quantile_cont({col}, 0.5) AS med
+            FROM det GROUP BY 1),
+d_{tag} AS (SELECT det.source, det.bucket_ts,
+              abs(det.{col} - m_{tag}.med) AS ad
+            FROM det JOIN m_{tag} ON det.source = m_{tag}.source),
+md_{tag} AS (SELECT source, quantile_cont(ad, 0.5) AS mad
+             FROM d_{tag} GROUP BY 1),
+s_{tag} AS (SELECT d_{tag}.source, d_{tag}.bucket_ts,
+              CASE WHEN md_{tag}.mad > 0
+                   THEN 0.6745 * d_{tag}.ad / md_{tag}.mad
+                   WHEN d_{tag}.ad > 0 THEN 1e308 ELSE 0.0 END AS s
+            FROM d_{tag} JOIN md_{tag}
+              ON d_{tag}.source = md_{tag}.source)"""
+
+    tok_extrema = f"""WITH {tok_cte},
+feat AS (SELECT source, bucket_ts,
+           sum_n_tok::DOUBLE / n_docs AS avg_n_tok,
+           ln(min_n_tok::DOUBLE + 1.0) AS lmin,
+           ln(max_n_tok::DOUBLE + 1.0) AS lmax
+         FROM tok1m),
+det AS (SELECT source, bucket_ts, avg_n_tok,
+          lmin - avg(lmin) OVER w AS d_min,
+          lmax - avg(lmax) OVER w AS d_max
+        FROM feat
+        WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                     ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)),
+{_mad_cte('a', 'avg_n_tok')},
+{_mad_cte('s', 'd_min')},
+{_mad_cte('d', 'd_max')}
+SELECT det.source, det.bucket_ts, 'extrema_ensemble' AS method,
+  (s_a.s > 3.5 OR s_s.s > 3.5 OR (s_d.s > 8.0 AND det.d_max < 0))
+    AS is_outlier,
+  round(greatest(s_a.s, s_s.s, s_d.s), 4) AS score
+FROM det
+JOIN s_a ON det.source = s_a.source AND det.bucket_ts = s_a.bucket_ts
+JOIN s_s ON det.source = s_s.source AND det.bucket_ts = s_s.bucket_ts
+JOIN s_d ON det.source = s_d.source AND det.bucket_ts = s_d.bucket_ts"""
+
     # MA detector (detect.ma_flags over the gap-filled 1m tier): the
     # ev_optimal_window CV-fold SQL extended with the w*-window
     # full-series trailing MA + |z| > 2 flags. Self-joins on idx ranges
@@ -973,6 +1027,7 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_zscore_flags": tok_zscore,
         "tok_mad_flags": tok_mad,
         "tok_mad_ratio_flags": tok_mad_ratio,
+        "tok_extrema_flags": tok_extrema,
         "tok_gapfill_1m": tok_gap,
         "tok_iqr_flags": tok_iqr,
         "tok_ma_flags": tok_ma,

@@ -134,9 +134,13 @@ def main() -> dict:
     mad_avg_fl = detect.mad_flags(gfr, value_col="avg_n_tok")
     stlz_avg_fl = detect.grouped_flags(gfr, "1m", "stl_z",
                                        value_col="avg_n_tok")
+    # round-2 engine-native ensemble: mean-ratio MAD + order-statistic
+    # (detrended log min/max) fences — catches sparse-bucket anomalies
+    # the mean ratio alone misses (detect.extrema_ensemble_flags)
+    ens_fl = detect.extrema_ensemble_flags(gf)
     for name, fl in (("iqr", iqr_fl), ("mad", mad_fl), ("stl", stl_fl),
                      ("stl_z", stlz_fl), ("mad_avg", mad_avg_fl),
-                     ("stl_z_avg", stlz_avg_fl)):
+                     ("stl_z_avg", stlz_avg_fl), ("ensemble", ens_fl)):
         pred = (fl.filter("is_outlier").select("source", "bucket_ts")
                 .join(gaps, ["source", "bucket_ts"], "left_anti")
                 .distinct().cache())

@@ -310,3 +310,36 @@ class TestRound2Fixes:
     def test_unknown_method_raises_at_build_time(self, const_series):
         with pytest.raises(ValueError, match="unknown method"):
             detect.grouped_flags(const_series, "1m", "nope")
+
+    def test_extrema_ensemble_catches_sparse_dip_and_spike(self, spark):
+        # one source, stable per-doc token level ~1000, one spiked
+        # bucket (all docs x8) and one dipped bucket (x1/8); both have
+        # few docs, where the mean-ratio MAD alone misses dips
+        from datetime import datetime, timedelta
+
+        import numpy as np
+        rng = np.random.default_rng(9)
+        rows = []
+        base = datetime(2024, 1, 1)
+        for i in range(300):
+            n_docs = int(rng.integers(1, 4))
+            per_doc = rng.integers(900, 1100, n_docs)
+            if i == 100:
+                per_doc = per_doc * 8        # spike
+            elif i == 200:
+                per_doc = per_doc // 8       # dip
+            rows.append(("src-000", base + timedelta(minutes=i),
+                         int(n_docs), int(per_doc.sum()),
+                         int(per_doc.min()), int(per_doc.max()),
+                         0, False))
+        t1m = spark.createDataFrame(
+            rows, "source string, bucket_ts timestamp, n_docs long, "
+                  "sum_n_tok long, min_n_tok int, max_n_tok int, "
+                  "sum_tok_sq long, gap_filled boolean")
+        fl = detect.extrema_ensemble_flags(t1m).toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+        assert len(fl) == 300
+        assert set(fl["method"]) == {"extrema_ensemble"}
+        assert bool(fl.iloc[100]["is_outlier"])   # spike caught
+        assert bool(fl.iloc[200]["is_outlier"])   # dip caught
+        assert int(fl["is_outlier"].sum()) <= 6   # few false alarms
