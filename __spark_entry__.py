@@ -262,6 +262,30 @@ def _emb_neardup(spark, sf_dir) -> DataFrame:
     return cosine_neardup_pairs(_emb_queries(spark, sf_dir), threshold=0.35)
 
 
+def _ivf_centroids_fixed() -> list[list[float]]:
+    """Deterministic random spherical centroids (seed 77, 16×64,
+    unit-normalized). The contract query uses FIXED centroids instead
+    of the data-trained k-means (simsearch.train_ivf_centroids) so the
+    DuckDB oracle can regenerate them as SQL literals — the IVF
+    structure (assign → probe → re-rank) is identical either way."""
+    import numpy as np
+    rng = np.random.default_rng(77)
+    c = rng.standard_normal((16, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _emb_ivf_topk(spark, sf_dir) -> DataFrame:
+    from tstoken.simsearch import ivf_topk
+    e = _emb_queries(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    r = ivf_topk(e.select("vec_id", "embedding"), q, k=5, nprobe=4,
+                 centroids=_ivf_centroids_fixed())
+    return r.select("qid", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+
+
 def _emb_lsh_topk(spark, sf_dir) -> DataFrame:
     from tstoken.simsearch import lsh_topk
     e = _emb_queries(spark, sf_dir)
@@ -473,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _doc_simhash,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_lsh_topk": _emb_lsh_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
         "tok_rollup_1m": _tok_rollup_1m,
         "tok_rollup_1h": _tok_rollup_1h,
         "tok_rollup_1d": _tok_rollup_1d,
@@ -836,6 +861,39 @@ SELECT s.source, s.month, s.n, s.vmin, s.vmax, s.q1, s.median, s.q3,
        w.whisker_lo, w.whisker_hi, w.n_fliers
 FROM s JOIN w ON s.source = w.source AND s.month = w.month"""
 
+    # IVF top-k oracle: regenerate the fixed spherical centroids (seed
+    # 77) as SQL literals; assignment = argmax cosine-with-centroid,
+    # probe = top-nprobe centroids per query, exact re-rank inside the
+    # probed clusters. (Mirrors the LSH oracle's shared-constants
+    # caveat: centroid literals come from the same generator as the
+    # query; assignment/probe/re-rank are checked independently.)
+    ivf_cents = _ivf_centroids_fixed()
+    sim_exprs = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        f" / sqrt(list_dot_product(v, v))" for c in ivf_cents)
+    ivf = f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (SELECT vec_id, v, [{sim_exprs}] AS s FROM ev),
+assign AS (SELECT vec_id, v,
+             list_position(s, list_max(s)) - 1 AS ivf_cluster FROM sims),
+q AS (SELECT vec_id AS qid, v AS qv, s FROM sims WHERE vec_id < 20),
+probe AS (SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, u.i - 1 AS cid,
+      row_number() OVER (PARTITION BY q.qid
+                         ORDER BY q.s[u.i] DESC, u.i ASC) AS rk
+    FROM q, unnest(generate_series(1, len(q.s))) u(i))
+  WHERE rk <= 4),
+cand AS (SELECT p.qid, p.qv, a.vec_id, a.v
+         FROM assign a JOIN probe p ON a.ivf_cluster = p.cid
+         WHERE a.vec_id <> p.qid),
+scored AS (SELECT qid, vec_id,
+             round(list_cosine_similarity(v, qv), 6) AS cosine FROM cand)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5"""
+
     tok_cte = _tok_cte()
     tok_1m = f"WITH {tok_cte}\nSELECT * FROM tok1m"
     tok_1d = f"""WITH {tok_cte}
@@ -1020,6 +1078,7 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": cosine,
         "emb_lsh_topk": lsh,
+        "emb_ivf_topk": ivf,
         "tok_rollup_1m": tok_1m,
         "tok_rollup_1h": tok_1h,
         "tok_rollup_1d": tok_1d,

@@ -123,6 +123,90 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int,
     return df.withColumn("lsh_sig", sig)
 
 
+def train_ivf_centroids(emb: DataFrame, vec_col: str = "embedding",
+                        n_centroids: int = 16, sample: int = 4096,
+                        iters: int = 10, seed: int = 7) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF, trained driver-side
+    on a bounded sample (the classical offline-training step — the
+    sample is capped, never the corpus; at 100 TB you train once on a
+    few thousand vectors and persist the centroids)."""
+    pdf = emb.select(vec_col).limit(sample).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                         replace=False)]
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents.tolist()
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Array of (cos-with-centroid-i) — centroids are plan literals,
+    identical on every executor, no broadcast needed."""
+    cols = []
+    for c in centroids:
+        plane = F.array(*[F.lit(float(v)) for v in c])
+        cols.append(_dot(F.col(vec_col), plane) / _norm(F.col(vec_col)))
+    return F.array(*cols)
+
+
+def ivf_assign(df: DataFrame, vec_col: str,
+               centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid cluster id per vector (native argmax via
+    sorted struct array, same idiom as textops.detect_language)."""
+    sims = _centroid_sims(vec_col, centroids)
+    pairs = F.transform(
+        sims, lambda s, i: F.struct(s.alias("sim"), i.alias("cid")))
+    best = F.sort_array(pairs, asc=False)[0]
+    return df.withColumn("ivf_cluster", best["cid"])
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid; each query probes its `nprobe` nearest clusters and
+    re-ranks exactly inside them.
+
+    The 100 TB shape: candidate generation is an equi-join on
+    `ivf_cluster` (shuffle on a small int key, prunable if the corpus
+    is stored partitioned by cluster), scanning ~nprobe/n_centroids of
+    the corpus per query instead of all of it. Recall depends on how
+    often a true neighbor's cluster is outside the probe set — raise
+    nprobe (or n_centroids with nprobe scaled) to trade scan fraction
+    for recall.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, "embedding",
+                                        n_centroids=n_centroids)
+    e = ivf_assign(emb, "embedding", centroids)
+    qsims = _centroid_sims("qvec", centroids)
+    qpairs = F.transform(
+        qsims, lambda s, i: F.struct(s.alias("sim"), i.alias("cid")))
+    probe = F.slice(F.sort_array(qpairs, asc=False), 1, nprobe)
+    q = queries.withColumn(
+        "ivf_cluster",
+        F.explode(F.transform(probe, lambda p: p["cid"])))
+    cand = e.join(F.broadcast(q), "ivf_cluster") \
+            .filter(F.col("vec_id") != F.col("qid")) \
+            .select("qid", "qvec", "vec_id", "embedding")
+    scored = with_cosine(cand)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 8, n_tables: int = 8) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any of

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 from .rollup import with_event_time
 
@@ -45,3 +48,70 @@ def run_stream_to_memory(spark, raw_stream: DataFrame, query_name: str,
     agg = streaming_rollup_1m(raw_stream, watermark)
     return (agg.writeStream.format("memory").queryName(query_name)
             .outputMode("update").start())
+
+
+# ---------------------------------------- custom stateful operator
+
+STREAM_FLAG_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("bucket_ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("is_outlier", BooleanType()),
+    StructField("z", DoubleType()),
+    StructField("n_seen", LongType()),
+])
+
+# Welford running moments per source: (count, mean, M2)
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("mean", DoubleType()),
+    StructField("m2", DoubleType()),
+])
+
+
+def streaming_zscore_flags(tier_stream: DataFrame,
+                           value_col: str = "sum_n_tok",
+                           threshold: float = 3.0,
+                           min_history: int = 30) -> DataFrame:
+    """Stateful streaming z-score detector over a rolled tier stream.
+
+    The custom-stateful-operator surface of SURVEY §2.10:
+    `applyInPandasWithState` keeps per-source Welford running moments
+    (count, mean, M2) across micro-batches; each arriving bucket is
+    scored against the statistics of all PRIOR buckets, then folded
+    into the state. Memory is O(1) per source — 3 doubles — so state
+    never grows with stream length; no watermark interaction (state
+    never expires; pass a TTL timeout in production if sources churn).
+    Buckets are processed in bucket_ts order within each batch, so a
+    replay of the same batches is deterministic. The first
+    `min_history` buckets per source only warm the state (never
+    flagged): z against a 2-point history is noise.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        src = key[0]
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("bucket_ts")
+            for ts, v in zip(pdf["bucket_ts"], pdf[value_col]):
+                x = float(v)
+                sd = (m2 / n) ** 0.5 if n > 1 else 0.0
+                z = abs(x - mean) / sd if (n >= min_history and sd > 0) \
+                    else 0.0
+                out.append((src, ts, x, bool(z > threshold), z, n))
+                n += 1
+                delta = x - mean
+                mean += delta / n
+                m2 += delta * (x - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         STREAM_FLAG_SCHEMA.fields])
+
+    return (tier_stream.groupBy("source")
+            .applyInPandasWithState(fn, STREAM_FLAG_SCHEMA, _STATE_SCHEMA,
+                                    "append", "NoTimeout"))

@@ -250,3 +250,81 @@ class TestTextOpsRound2:
         assert planted <= ex
         # near-identical pairs (cos ~ 1) survive banded prefiltering
         assert len(planted & pr) >= 4
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((200, 16))
+        return spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(200)],
+            "vec_id long, embedding array<double>").cache()
+
+    def test_assign_partitions_corpus(self, emb):
+        from tstoken.simsearch import ivf_assign, train_ivf_centroids
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        assigned = ivf_assign(emb, "embedding", cents).toPandas()
+        assert assigned["ivf_cluster"].between(0, 7).all()
+        assert assigned["ivf_cluster"].nunique() >= 4  # spread, not one bucket
+
+    def test_ivf_topk_recall_vs_exact(self, emb):
+        from tstoken.simsearch import cosine_topk, ivf_topk
+        q = emb.filter("vec_id < 10").selectExpr("vec_id as qid",
+                                                 "embedding as qvec")
+        exact = cosine_topk(emb, q, k=5).toPandas()
+        # probing half the clusters must recover most exact neighbors
+        approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).toPandas()
+        ex = set(map(tuple, exact[["qid", "vec_id"]].to_numpy()))
+        ap = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
+        assert len(ex & ap) / len(ex) >= 0.5
+        # full probe == exhaustive == exact
+        full = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).toPandas()
+        fu = set(map(tuple, full[["qid", "vec_id"]].to_numpy()))
+        assert fu == ex
+
+
+class TestStatefulStreaming:
+    def test_streaming_zscore_flags_state_across_batches(self, spark, tmp_path):
+        import shutil
+        from datetime import datetime, timedelta
+
+        from tstoken.streaming import streaming_zscore_flags
+        src_dir = tmp_path / "tier_stream"
+        src_dir.mkdir()
+        base = datetime(2024, 1, 1)
+        rng = np.random.default_rng(2)
+
+        def batch(path, lo, hi, spike_at=None):
+            rows = []
+            for i in range(lo, hi):
+                v = int(100 + rng.integers(-5, 6))
+                if spike_at is not None and i == spike_at:
+                    v = 1000
+                rows.append(("src-000", base + timedelta(minutes=i), v))
+            spark.createDataFrame(
+                rows, "source string, bucket_ts timestamp, sum_n_tok long"
+            ).coalesce(1).write.mode("overwrite").parquet(str(path))
+
+        # batch 1 warms the state; batch 2 carries the spike
+        batch(src_dir / "b1", 0, 60)
+        stream = (spark.readStream
+                  .schema("source string, bucket_ts timestamp, sum_n_tok long")
+                  .parquet(str(src_dir) + "/*"))
+        fl = streaming_zscore_flags(stream, threshold=3.0, min_history=30)
+        chk = str(tmp_path / "chk")
+        q = (fl.writeStream.format("memory").queryName("sz")
+             .outputMode("append").option("checkpointLocation", chk).start())
+        q.processAllAvailable()
+        batch(src_dir / "b2", 60, 120, spike_at=90)
+        q.processAllAvailable()
+        out = spark.sql("select * from sz").toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+        q.stop()
+        assert len(out) == 120
+        spike_row = out[out["value"] == 1000.0]
+        assert len(spike_row) == 1 and bool(spike_row.iloc[0]["is_outlier"])
+        # warmup rows never flagged; state carried across batches
+        assert not out.iloc[:30]["is_outlier"].any()
+        assert int(out["is_outlier"].sum()) <= 2
+        assert out.iloc[119]["n_seen"] == 119
