@@ -166,3 +166,49 @@ class TestDecomposeTier:
         out = decompose_tier(t1m, "1m").toPandas()
         assert set(out["model"]) == {"too_short"}
         assert out["seasonal"].isna().all()
+
+
+class TestApiHandlers:
+    """Framework-free mirrors of the reference FastAPI endpoints
+    (api_catch.py:27-117); fastapi itself is absent in this sandbox."""
+
+    def _payload(self, n=40, spike_at=None):
+        dates = pd.date_range("2024-01-01", periods=n, freq="D")
+        vals = [10.0] * n
+        if spike_at is not None:
+            vals[spike_at] = 500.0
+        return ([[str(d.date()), v] for d, v in zip(dates, vals)],
+                ["date", "count"])
+
+    def test_find_outliers_flags_spike(self):
+        from tstoken.api import find_outliers
+        data, cols = self._payload(spike_at=20)
+        out = find_outliers(data, cols)
+        assert len(out["outliers"]) == 1
+        assert out["outliers"][0]["count"] == 500.0
+
+    def test_bad_date_column_is_400(self):
+        from tstoken.api import ApiError, find_outliers
+        with pytest.raises(ApiError) as ei:
+            find_outliers([["not a date", 1.0]], ["date", "count"])
+        assert ei.value.status_code == 400
+
+    def test_today_classic_message_path(self):
+        from tstoken.api import detect_outliers_today_classic
+        data, cols = self._payload()      # no outliers planted
+        out = detect_outliers_today_classic(data, cols)
+        assert out["outliers"] and (
+            "message" in out["outliers"][0]
+            or "count" in out["outliers"][0])
+
+    def test_monthwise_stats_endpoint(self):
+        from tstoken.api import monthwise_stats
+        data, cols = self._payload(n=60)
+        out = monthwise_stats(data, cols)
+        assert {r["Month-Year"] for r in out["outliers"]} == \
+            {"2024-01", "2024-02"}
+
+    def test_fastapi_wiring_gated(self):
+        from tstoken.api import create_fastapi_app
+        with pytest.raises(ImportError):
+            create_fastapi_app()
