@@ -231,26 +231,33 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
             .withColumn("d_min", F.col("lmin") - F.avg("lmin").over(w))
             .withColumn("d_max", F.col("lmax") - F.avg("lmax").over(w)))
 
-    key = ["source", "bucket_ts"]
-    a = mad_flags(feat, value_col="avg_n_tok", threshold=avg_threshold) \
-        .select(*key, F.col("is_outlier").alias("f_a"),
-                F.col("score").alias("s_a"))
-    s = mad_flags(feat, value_col="d_min", threshold=spike_threshold) \
-        .select(*key, F.col("is_outlier").alias("f_s"),
-                F.col("score").alias("s_s"))
-    d = mad_flags(feat, value_col="d_max", threshold=dip_threshold) \
-        .join(feat.select(*key, "d_max"), key) \
-        .select(*key,
-                (F.col("is_outlier") & (F.col("d_max") < 0)).alias("f_d"),
-                F.col("score").alias("s_d"))
-    comb = a.join(s, key).join(d, key)
-    flag = F.coalesce(F.col("f_a"), F.lit(False)) \
-        | F.coalesce(F.col("f_s"), F.lit(False)) \
-        | F.coalesce(F.col("f_d"), F.lit(False))
-    score = F.greatest(F.coalesce("s_a", F.lit(0.0)),
-                       F.coalesce("s_s", F.lit(0.0)),
-                       F.coalesce("s_d", F.lit(0.0)))
-    return _flags_select(comb, "extrema_ensemble", flag, score)
+    # All three MAD fences share ONE two-pass aggregation over feat
+    # (3 medians in pass 1, 3 MADs in pass 2, broadcast joins back) —
+    # calling mad_flags three times would re-derive the windowed feat
+    # subtree up to 6x. Fence math is identical to mad_flags.
+    cols = {"a": "avg_n_tok", "s": "d_min", "d": "d_max"}
+    med = feat.groupBy("source").agg(*[
+        F.percentile(F.col(c), F.lit(0.5)).alias(f"med_{t}")
+        for t, c in cols.items()])
+    j1 = feat.join(F.broadcast(med), "source")
+    for t, c in cols.items():
+        j1 = j1.withColumn(f"ad_{t}", F.abs(F.col(c) - F.col(f"med_{t}")))
+    mad = j1.groupBy("source").agg(*[
+        F.percentile(F.col(f"ad_{t}"), F.lit(0.5)).alias(f"mad_{t}")
+        for t in cols])
+    j2 = j1.join(F.broadcast(mad), "source")
+
+    def mscore(t: str) -> F.Column:
+        return F.when(F.col(f"mad_{t}") > 0,
+                      F.lit(0.6745) * F.col(f"ad_{t}") / F.col(f"mad_{t}")) \
+                .otherwise(F.when(F.col(f"ad_{t}") > 0, F.lit(1e308))
+                           .otherwise(F.lit(0.0)))
+
+    s_a, s_s, s_d = mscore("a"), mscore("s"), mscore("d")
+    flag = (s_a > avg_threshold) | (s_s > spike_threshold) \
+        | ((s_d > dip_threshold) & (F.col("d_max") < 0))
+    score = F.greatest(s_a, s_s, s_d)
+    return _flags_select(j2, "extrema_ensemble", flag, score)
 
 
 # ------------------------------------------- grouped Arrow-UDF detectors
