@@ -217,6 +217,12 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     for the best single detector) — disclosed tuning, same protocol as
     the round-1 engine-native rows. Rolling-mean detrending absorbs
     seasonality; log scale makes x8 spikes and x1/8 dips symmetric.
+
+    Scale note: MAD is inherently two-pass, so the windowed feature
+    subtree is referenced by both aggregation passes and the final
+    projection. Run this over a MATERIALIZED tier table (the engine's
+    TableIO pipeline does), not over an unmaterialized rollup lineage —
+    otherwise each reference recomputes the rollup upstream.
     """
     ng = rollup
     if "gap_filled" in rollup.columns:
