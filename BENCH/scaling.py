@@ -65,10 +65,21 @@ def pipeline():
     return n_1m + n_1h + n_1d
 
 walls = []
-for i in range(iters):
+# run at least `iters` iterations, then continue while the running min
+# is still improving by >2% within the last 3 iterations (cap 24):
+# JIT/profile warmup keeps improving walls for many iterations at the
+# fast levels (observed: local[8] still declining monotonically at
+# iteration 8), so a fixed count under-measures steady state.
+while True:
     t0 = time.time()
     points = pipeline()
     walls.append(round(time.time() - t0, 2))
+    if len(walls) >= iters:
+        if len(walls) >= 24:
+            break
+        prior_best = min(walls[1:-3]) if len(walls) > 4 else walls[0]
+        if min(walls[1:]) > prior_best * 0.98:
+            break
 best = min(walls[1:]) if len(walls) > 1 else walls[0]
 print(json.dumps({{"cpus": cpus, "rows": rows, "walls": walls,
                    "wall_sec": best, "rolled_points": points,
@@ -168,12 +179,14 @@ input (identical staged parquet bytes, fresh process per level).
 **Job**: staged `tokens_raw` parquet ({summary['rows']:,} rows,
 Zipf-skewed sources) -> salted 1m rollup (posexplode + native
 whole-stage-codegen aggregation, two-phase salted) -> 1h -> 1d
-cascades -> gap-fill -> IQR + MAD anomaly flags. Wall = min of
-iterations 2..{summary['iters_per_level']} (iteration 1 absorbs JVM
-JIT warmup, which on a 10^12-row cluster job is noise but would
-dominate a minutes-long sandbox run; every iteration rebuilds its
-plans from a fresh `spark.read.parquet`, so nothing is reused across
-iterations).
+cascades -> gap-fill -> IQR + MAD anomaly flags. Wall = min of the
+post-first iterations; each level runs at least
+{summary['iters_per_level']} iterations and keeps iterating (cap 24)
+while its min is still improving >2% over the last three — JVM
+JIT/profile warmup keeps improving the fast levels for many
+iterations, so a fixed count under-measures steady state. Every
+iteration rebuilds its plans from a fresh `spark.read.parquet`, so
+nothing is reused across iterations.
 {pooled}
 {table}
 
@@ -195,25 +208,33 @@ efficiency / ceiling — the fraction of achievable scaling the engine
 captures; the verdict column applies the >= 0.8 criterion to it.
 
 **Reading the verdicts honestly.** Under this conservative pooled
-estimator the high pair passes (raw 0.71, ceiling 0.85 — the host
-genuinely cannot run 32 burners at 4x the rate of 8 — normalized
-0.84) and the LOW pair falls short (raw 0.73, ceiling ~1.0,
-normalized 0.73). Context the reader should weigh:
+estimator BOTH pairs land just under the 0.8 line (low pair raw 0.79 /
+normalized 0.79; high pair raw 0.65 / normalized 0.77) and the table
+says FAIL. Context the reader should weigh — context, not excuses;
+every number behind it is published:
 
-- Run-to-run contention on this shared host is large and one-sided:
-  per-level minima ranged 130-156 s (local[2]), 44-54 s (local[8]),
-  15.6-22 s (local[32]) across the three runs, with individual
-  iterations spiking 2-5x. Round 1, in a quieter host window, the
-  SAME harness and engine measured raw 2->8 = 0.78 (normalized 0.808,
-  PASS) and a 7-iteration run measured raw 0.867; today's 22 samples
-  never saw a local[8] wall below 44.4 s. All walls from all runs are
-  published above rather than selecting the favorable run.
-- The shortfall that remains after pooling is fixed per-JOB cost, not
-  a scaling defect of the plan: driver-side plan analysis, stage
+- Round 1, on a quieter host, the SAME harness and engine measured
+  raw 2->8 = 0.78 / normalized 0.808 PASS (and a 7-iteration run
+  measured raw 0.867). The round-2 campaign (5 runs, 30-42 iterations
+  per level) ran on a progressively degrading host: individual
+  iterations spiked 2-5x, whole ~10-minute level windows were
+  contended, and by the final runs the CPU-burn calibration itself
+  had HALVED (calibration_runs in scaling.json: 3326->1517 units at
+  2 procs). Pooling mins across runs recovers quiet-window walls per
+  level, but each level's min keeps improving independently, so the
+  ratio is the division of two noisy floors — ±0.05-0.1 swings
+  between runs were observed in both directions.
+- The residual high-pair shortfall is fixed per-JOB cost, not a
+  scaling defect of the plan: driver-side plan analysis, stage
   scheduling and six stage barriers cost the same seconds at every
   thread count, and at this deliberately small proxy size (2M rows,
-  ~44 s at local[8]) they are a double-digit percentage of the wall.
-  At the 10^12-row design point the same seconds are noise.
+  ~15 s at local[32]) they are a double-digit percentage of the wall.
+  At the 10^12-row design point the same seconds are noise. A 6M-row
+  8->32 measurement intended to demonstrate the amortization
+  (BENCH/scaling_6m.json) unfortunately landed in the most contended
+  window of the session (its own calibration shows the host at ~half
+  capacity) and is inconclusive; it is kept as recorded data, not
+  evidence either way.
 - The engine has no algorithmic serial section: it shards by
   (source, bucket_ts, salt), uses broadcast-only small joins and
   associative tier cascades, and every stage's task count scales with
@@ -241,27 +262,22 @@ def recompute_verdicts(summary: dict) -> dict:
               for c in (2, 8, 32)}
     summary["calibration_runs"] = cals
     summary["cpu_calibration_units"] = pooled
-    hw_2_8 = (pooled["8"] / pooled["2"]) / 4.0
-    hw_8_32 = (pooled["32"] / pooled["8"]) / 4.0
     lv = summary["levels"]
-    eff_2_8 = round((lv["local[2]"]["wall_sec"]
-                     / lv["local[8]"]["wall_sec"]) / 4, 3)
-    eff_8_32 = round((lv["local[8]"]["wall_sec"]
-                      / lv["local[32]"]["wall_sec"]) / 4, 3)
-    summary.update({
-        "hw_ceiling_2_to_8": round(hw_2_8, 3),
-        "hw_ceiling_8_to_32": round(hw_8_32, 3),
-        "scaling_efficiency_2_to_8": eff_2_8,
-        "scaling_efficiency_8_to_32": eff_8_32,
-        "normalized_efficiency_2_to_8": round(eff_2_8 / hw_2_8, 3),
-        "normalized_efficiency_8_to_32": round(eff_8_32 / hw_8_32, 3),
-        "raw_pass_2_to_8": eff_2_8 >= 0.8,
-        "raw_pass_8_to_32": eff_8_32 >= 0.8,
-        "normalized_pass_2_to_8": eff_2_8 / hw_2_8 >= 0.8,
-        "normalized_pass_8_to_32": eff_8_32 / hw_8_32 >= 0.8,
-    })
-    summary["pass_2_to_8"] = summary["normalized_pass_2_to_8"]
-    summary["pass_8_to_32"] = summary["normalized_pass_8_to_32"]
+    for lo, hi in ((2, 8), (8, 32)):
+        if f"local[{lo}]" not in lv or f"local[{hi}]" not in lv:
+            continue
+        hw = (pooled[str(hi)] / pooled[str(lo)]) / 4.0
+        eff = round((lv[f"local[{lo}]"]["wall_sec"]
+                     / lv[f"local[{hi}]"]["wall_sec"]) / 4, 3)
+        tag = f"{lo}_to_{hi}"
+        summary.update({
+            f"hw_ceiling_{tag}": round(hw, 3),
+            f"scaling_efficiency_{tag}": eff,
+            f"normalized_efficiency_{tag}": round(eff / hw, 3),
+            f"raw_pass_{tag}": eff >= 0.8,
+            f"normalized_pass_{tag}": eff / hw >= 0.8,
+        })
+        summary[f"pass_{tag}"] = summary[f"normalized_pass_{tag}"]
     return summary
 
 
@@ -288,11 +304,18 @@ def main():
     else:
         rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
         iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        # --levels 8,32 : re-measure only the listed levels (merge
+        # copies the untouched levels from the prior pooled state)
+        levels = (2, 8, 32)
+        if "--levels" in sys.argv:
+            levels = tuple(int(x) for x in
+                           sys.argv[sys.argv.index("--levels") + 1]
+                           .split(","))
         stage(rows)
         cal = cpu_calibration()
         print(json.dumps({"cpu_calibration": cal}), flush=True)
         res = {}
-        for cpus in (2, 8, 32):
+        for cpus in levels:
             res[cpus] = run(cpus, rows, iters)
             print(json.dumps(res[cpus]), flush=True)
         # --merge [path]: pool walls with a prior same-rows run of the
@@ -317,7 +340,7 @@ def main():
                         [prev["cpu_calibration_units"]])
                     for cpus in (2, 8, 32):
                         lv = prev["levels"].get(f"local[{cpus}]")
-                        if lv:
+                        if lv and cpus in res:
                             r = res[cpus]
                             r["walls"] = lv["walls"] + r["walls"]
                             r["wall_sec"] = min(r["walls"])
@@ -325,6 +348,8 @@ def main():
                                 r["rolled_points"] / r["wall_sec"], 1)
                             r["raw_rows_per_sec"] = round(
                                 rows / r["wall_sec"], 1)
+                        elif lv and cpus not in res:
+                            res[cpus] = lv
         summary = {
             "rows": rows,
             "merged_runs": merged_runs,
@@ -345,6 +370,15 @@ def main():
                 " report the raw criterion",
         }
         summary = recompute_verdicts(summary)
+        # --out PATH: write an auxiliary evidence file (e.g. a
+        # larger-rows 8->32-only measurement) without touching the
+        # primary scaling.json / BASELINE.md
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+            with open(out_path, "w") as f:
+                json.dump(summary, f, indent=2)
+            print(json.dumps(summary))
+            return
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(summary, f, indent=2)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
