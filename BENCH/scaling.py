@@ -74,12 +74,15 @@ while True:
     t0 = time.time()
     points = pipeline()
     walls.append(round(time.time() - t0, 2))
-    if len(walls) >= iters:
-        if len(walls) >= 24:
-            break
-        prior_best = min(walls[1:-3]) if len(walls) > 4 else walls[0]
-        if min(walls[1:]) > prior_best * 0.98:
-            break
+    if len(walls) >= 24:
+        break
+    if len(walls) < max(iters, 5):
+        continue  # need warmup + >=1 baseline + 3 recent walls
+    # stop once the steady min stopped improving >2% over the last 3
+    # iterations; the baseline window excludes the iteration-1 warmup
+    prior_best = min(walls[1:-3])
+    if min(walls[1:]) > prior_best * 0.98:
+        break
 best = min(walls[1:]) if len(walls) > 1 else walls[0]
 print(json.dumps({{"cpus": cpus, "rows": rows, "walls": walls,
                    "wall_sec": best, "rolled_points": points,
@@ -343,7 +346,13 @@ def main():
                         if lv and cpus in res:
                             r = res[cpus]
                             r["walls"] = lv["walls"] + r["walls"]
-                            r["wall_sec"] = min(r["walls"])
+                            # pool the per-run STEADY minima (each
+                            # run's wall_sec already excludes its own
+                            # iteration-1 warmup) rather than min over
+                            # the concatenated list, which would let a
+                            # warmup wall win
+                            r["wall_sec"] = min(lv["wall_sec"],
+                                                r["wall_sec"])
                             r["points_per_sec"] = round(
                                 r["rolled_points"] / r["wall_sec"], 1)
                             r["raw_rows_per_sec"] = round(

@@ -366,9 +366,17 @@ def _tok_mad_ratio_flags(spark, sf_dir) -> DataFrame:
 
 def _tok_extrema_flags(spark, sf_dir) -> DataFrame:
     """Engine-native extrema ensemble (detect.extrema_ensemble_flags):
-    mean-ratio MAD + detrended log-min/max order-statistic fences."""
+    mean-ratio MAD + detrended log-min/max order-statistic fences.
+    The tier is materialized to parquet first, per the detector's
+    docstring — MAD is two-pass, so an unmaterialized rollup lineage
+    would be recomputed by every fence pass."""
+    import tempfile
+
     from tstoken.detect import extrema_ensemble_flags
-    fl = extrema_ensemble_flags(_tok_rollup_1m(spark, sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"tstoken_extrema_t1m_{os.getpid()}")
+    _tok_rollup_1m(spark, sf_dir).write.mode("overwrite").parquet(path)
+    fl = extrema_ensemble_flags(spark.read.parquet(path))
     return fl.select("source", "bucket_ts", "method", "is_outlier",
                      F.round("score", 4).alias("score"))
 

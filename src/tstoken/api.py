@@ -5,9 +5,16 @@ The reference exposes three detector endpoints
 endpoints (`api_diagnostics.py:60-128`). FastAPI is NOT installed in
 this sandbox, so the HANDLER SEMANTICS live here as plain functions —
 (data, columns) rows-and-names payload → pandas frame → compat
-detector → `{"outliers": [...]}` records, with the reference's status
-codes — and `create_fastapi_app()` wires them into a real FastAPI app
-when the package is available (import-gated, never required).
+detector → `{"outliers": [...]}` records — and `create_fastapi_app()`
+wires them into a real FastAPI app when the package is available
+(import-gated, never required).
+
+Status-code deviation, deliberate: the reference raises its inner
+HTTPException(400)s INSIDE the outer `except Exception` block, so
+clients actually observe 500 with a detail string of "400: ..."
+(`api_catch.py:52`). Here ApiError(400) propagates cleanly as 400 —
+a fix, not parity; callers asserting the reference's observed 500s
+must adjust.
 
 The plot-builder endpoints return base64 PNGs in the reference;
 without matplotlib the closest honest parity is the data-half

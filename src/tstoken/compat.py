@@ -347,9 +347,13 @@ def _degenerate_decomposition(residuals: np.ndarray, x: np.ndarray) -> bool:
     # second term: a CONSTANT series has vx = 0, but LOESS leaves
     # fp-noise residuals proportional to the series magnitude — scale
     # the floor by rms(x) so flat series are recognized as degenerate
-    # instead of having their fp residue z-scored (round-2 fix)
+    # instead of having their fp residue z-scored (round-2 fix). The
+    # 1e-12 relative-std floor sits well above float64 LOESS noise
+    # (~1e-14·level) but well below any real signal: a series at level
+    # 1e11 with true residual std 1 (relative 1e-11) must NOT be
+    # classified degenerate.
     rms = np.sqrt(np.mean(np.square(xf))) if xf.size else 0.0
-    thresh = max(1e-12 * vx, (1e-10 * rms) ** 2, 1e-300)
+    thresh = max(1e-12 * vx, (1e-12 * rms) ** 2, 1e-300)
     return bool(np.var(clean) <= thresh)
 
 

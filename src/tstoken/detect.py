@@ -263,7 +263,16 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     flag = (s_a > avg_threshold) | (s_s > spike_threshold) \
         | ((s_d > dip_threshold) & (F.col("d_max") < 0))
     score = F.greatest(s_a, s_s, s_d)
-    return _flags_select(j2, "extrema_ensemble", flag, score)
+    out = _flags_select(j2, "extrema_ensemble", flag, score)
+    if "gap_filled" in rollup.columns:
+        # flag contract: EVERY input bucket gets a boolean (module
+        # docstring / FIXTURES A2). Gap-filled buckets carry no
+        # statistical signal (zero docs, null extremes) — emit them as
+        # non-outliers instead of dropping them from the frame.
+        gaps = rollup.filter(F.col("gap_filled"))
+        out = out.unionByName(_flags_select(
+            gaps, "extrema_ensemble", F.lit(False), F.lit(0.0)))
+    return out
 
 
 # ------------------------------------------- grouped Arrow-UDF detectors

@@ -96,7 +96,13 @@ def streaming_zscore_flags(tier_stream: DataFrame,
             n, mean, m2 = 0, 0.0, 0.0
         src = key[0]
         out = []
-        for pdf in pdfs:
+        # concatenate the batch's Arrow chunks BEFORE sorting: a group
+        # larger than arrow.maxRecordsPerBatch arrives as multiple
+        # chunks, and sorting each chunk independently would fold
+        # later-chunk earlier-timestamp rows into state out of order
+        chunks = [c for c in pdfs if len(c)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks
+                    else []):
             pdf = pdf.sort_values("bucket_ts")
             for ts, v in zip(pdf["bucket_ts"], pdf[value_col]):
                 x = float(v)

@@ -236,11 +236,16 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     """
     rows_per_band = num_hashes // bands
     if io is None:
+        import os
         import tempfile
 
         from .tableio import TableIO
-        io = TableIO(docs.sparkSession,
-                     tempfile.mkdtemp(prefix="tstoken_sigs_"))
+        # one per-process scratch dir, reused (overwrite semantics)
+        # across calls — a fresh mkdtemp per call would leak a parquet
+        # signature copy on every invocation of a long-lived session
+        scratch = os.path.join(tempfile.gettempdir(),
+                               f"tstoken_sigs_{os.getpid()}")
+        io = TableIO(docs.sparkSession, scratch)
     io.overwrite(sig_table, minhash_signatures(docs, num_hashes),
                  partition_by=())
     sigs = io.read(sig_table)

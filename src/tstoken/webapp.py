@@ -63,7 +63,13 @@ class OutlierAnalyzer:
 
     def process_file(self, file, method: str = "comprehensive") -> dict[str, Any]:
         try:
-            file_path = Path(self.upload_folder) / file.filename
+            # sanitize the user-controlled filename: the reference
+            # joins it unsanitized (webapp.py:63), which allows
+            # ../-traversal writes outside UPLOAD_FOLDER — a security
+            # bug not worth reproducing
+            from werkzeug.utils import secure_filename
+            fname = secure_filename(file.filename) or "upload.csv"
+            file_path = Path(self.upload_folder) / fname
             file.save(str(file_path))
             df = pd.read_csv(file_path)
             plot_data = None
