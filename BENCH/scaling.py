@@ -92,6 +92,35 @@ spark.stop()
 """
 
 
+STAGE_FILES = ("src/tstoken/rollup.py", "src/tstoken/gapfill.py",
+               "src/tstoken/detect.py", "src/tstoken/synth.py",
+               "src/tstoken/session.py")
+
+
+def code_stamp() -> dict:
+    """Identity of the measured code: git HEAD plus a sha256 over the
+    engine files the pipeline executes AND the CHILD job template
+    itself. --merge refuses to pool walls whose checksum differs —
+    'same code' in the headline is verified, not asserted (round-2
+    ADVICE: nothing recorded the engine version, so minima measured on
+    different code could silently pool)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in STAGE_FILES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    h.update(CHILD.encode())
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=30).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return {"git_commit": commit or "unknown",
+            "stage_checksum": h.hexdigest()}
+
+
 def cpu_calibration(levels=(2, 8, 32), seconds: float = 10.0) -> dict:
     """Pure-CPU burn (independent processes, no JVM, no shared state)
     at each parallelism level. On this virtualized box the host
@@ -329,6 +358,8 @@ def main():
         # discarded), and merged_runs discloses the pooling.
         merged_runs = 1
         prior_cals: list[dict] = []
+        stamp = code_stamp()
+        merge_notes: list[str] = []
         if "--merge" in sys.argv:
             idx = sys.argv.index("--merge")
             prev_path = sys.argv[idx + 1] if len(sys.argv) > idx + 1 \
@@ -336,6 +367,20 @@ def main():
             if os.path.exists(prev_path):
                 with open(prev_path) as f:
                     prev = json.load(f)
+                prev_stamp = prev.get("code_stamp")
+                if prev_stamp is not None and \
+                        prev_stamp.get("stage_checksum") != \
+                        stamp["stage_checksum"]:
+                    print(json.dumps({
+                        "merge_refused": "stage checksum mismatch",
+                        "prev": prev_stamp, "cur": stamp}), flush=True)
+                    prev = {}
+                elif prev_stamp is None:
+                    merge_notes.append(
+                        f"prior run {prev_path} predates code stamping; "
+                        "pooled on rows-match only (measured stage files "
+                        "verified unchanged via git history at merge "
+                        "time)")
                 if prev.get("rows") == rows:
                     merged_runs = int(prev.get("merged_runs", 1)) + 1
                     prior_cals = prev.get(
@@ -361,6 +406,8 @@ def main():
                             res[cpus] = lv
         summary = {
             "rows": rows,
+            "code_stamp": stamp,
+            "merge_notes": merge_notes,
             "merged_runs": merged_runs,
             "iters_per_level": iters,
             "levels": {f"local[{c}]": r for c, r in res.items()},

@@ -258,8 +258,13 @@ def _doc_exact_dedup(spark, sf_dir) -> DataFrame:
 
 
 def _emb_neardup(spark, sf_dir) -> DataFrame:
+    # prefilter_planes=0 pins the EXACT all-pairs path: this query is
+    # the DuckDB-oracle baseline. The library default is the banded
+    # LSH prefilter (round-2 verdict #3) — scale callers get the
+    # bucketed plan unless they opt into exactness like this.
     from tstoken.simsearch import cosine_neardup_pairs
-    return cosine_neardup_pairs(_emb_queries(spark, sf_dir), threshold=0.35)
+    return cosine_neardup_pairs(_emb_queries(spark, sf_dir), threshold=0.35,
+                                prefilter_planes=0)
 
 
 def _ivf_centroids_fixed() -> list[list[float]]:
@@ -763,15 +768,21 @@ SELECT doc_id,
     (acc, wv) -> (acc * 1000003 + wv) % 2147483647) AS rolling_hash
 FROM w"""
 
+    # two offset band grids (cell 16, second grid shifted 8) — a pair
+    # is compared iff it shares a cell in EITHER grid, mirroring
+    # textops.ngram_jaccard_pairs' boundary-straddle fix
     jaccard = f"""
-WITH base AS (SELECT doc_id, source, (length(text) // 16) AS lb,
+WITH base AS (SELECT doc_id, source,
+                     (length(text) // 16) AS lb0,
+                     ((length(text) + 8) // 16) AS lb1,
                      list_distinct({wexpr}) AS wset
               FROM documents),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     len(list_intersect(a.wset, b.wset))::DOUBLE AS inter,
     (len(a.wset) + len(b.wset))::DOUBLE AS tot
   FROM base a JOIN base b
-    ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id)
+    ON a.source = b.source AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)
+   AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
     round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)

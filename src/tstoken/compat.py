@@ -570,12 +570,17 @@ def build_monthwise_stats(df: pd.DataFrame) -> pd.DataFrame:
         q1, med, q3 = g.quantile([0.25, 0.5, 0.75], interpolation="linear")
         iqr = q3 - q1
         lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
-        inside = g[(g >= lo) & (g <= hi)]
+        # whiskers are ONE-sided (min of points >= lo; max of points
+        # <= hi), exactly as diagnostics.monthwise_box computes them —
+        # the old two-sided `inside` mask could return NaN on
+        # degenerate months where Spark yields a value (round-2 ADVICE)
+        above_lo = g[g >= lo]
+        below_hi = g[g <= hi]
         return pd.Series({
             "n": len(g), "vmin": g.min(), "vmax": g.max(),
             "q1": q1, "median": med, "q3": q3,
-            "whisker_lo": inside.min() if len(inside) else np.nan,
-            "whisker_hi": inside.max() if len(inside) else np.nan,
+            "whisker_lo": above_lo.min() if len(above_lo) else np.nan,
+            "whisker_hi": below_hi.max() if len(below_hi) else np.nan,
             "n_fliers": int(((g < lo) | (g > hi)).sum())})
 
     return (frame.groupby("Month-Year")["Count"].apply(stats).unstack()

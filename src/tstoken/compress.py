@@ -232,12 +232,21 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compress_tier(rollup: DataFrame, value_col: str = "sum_n_tok",
-                  points_per_chunk: int = 4096) -> DataFrame:
-    """Tier → blocks_<tier>: one row per (source, chunk)."""
+                  points_per_chunk: int = 4096,
+                  tier: str = "1m") -> DataFrame:
+    """Tier → blocks_<tier>: one row per (source, chunk).
+
+    Chunk ids are epoch // (points_per_chunk * tier_seconds), so a full
+    chunk holds ~points_per_chunk points at EVERY tier — the round-2
+    hard-coded 60 s framing collapsed 1h blocks to ~68 points and 1d
+    blocks to ~3, defeating the 4096-point codec framing."""
+    from .rollup import TIER_SECONDS
+
+    secs = TIER_SECONDS[tier]
     src = rollup.select(
         "source", "bucket_ts", F.col(value_col).cast("double").alias("value"),
         (F.floor(F.col("bucket_ts").cast("long") /
-                 F.lit(points_per_chunk * 60))).cast("int").alias("chunk"))
+                 F.lit(points_per_chunk * secs))).cast("int").alias("chunk"))
     return src.groupBy("source", "chunk").applyInPandas(
         _encode_group, schema=BLOCK_SCHEMA)
 
@@ -254,11 +263,11 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
-        for _, row in pdf.iterrows():
-            ts = decode_timestamps(row["ts_block"])
-            vals = decode_values(row["val_block"])
+        for row in pdf.itertuples(index=False):
+            ts = decode_timestamps(row.ts_block)
+            vals = decode_values(row.val_block)
             frames.append(pd.DataFrame({
-                "source": row["source"],
+                "source": row.source,
                 "bucket_ts": pd.to_datetime(ts, unit="s"),
                 "value": vals,
             }))

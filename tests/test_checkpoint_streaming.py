@@ -240,7 +240,10 @@ class TestTextOpsRound2:
         emb = spark.createDataFrame(
             [(i, vecs[i].tolist()) for i in range(len(vecs))],
             "vec_id long, embedding array<double>")
-        exact = cosine_neardup_pairs(emb, threshold=0.9).toPandas()
+        # prefilter_planes=0 pins the exact all-pairs reference; the
+        # library default is the banded prefilter (round-2 verdict #3)
+        exact = cosine_neardup_pairs(emb, threshold=0.9,
+                                     prefilter_planes=0).toPandas()
         pre = cosine_neardup_pairs(emb, threshold=0.9, prefilter_planes=4,
                                    prefilter_tables=8, dim=16).toPandas()
         ex = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
