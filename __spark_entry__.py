@@ -459,11 +459,15 @@ def _tok_decompose_1m(spark, sf_dir) -> DataFrame:
     from tstoken.diagnostics import decompose_tier
     from tstoken.rollup import rollup_1m
     d = decompose_tier(rollup_1m(_tok_raw(spark)), "1m")
+    # 4 decimals, not 6: trend/seasonal come from ~60-term float sums
+    # whose engine-vs-oracle summation-order noise is ~1e-11 on values
+    # ~1e4; at 1e-6 rounding granularity a boundary flip across ~13k
+    # values is likely, at 1e-4 it is negligible
     return d.select("source", "bucket_ts",
-                    F.round("observed", 6).alias("observed"),
-                    F.round("seasonal", 6).alias("seasonal"),
-                    F.round("trend", 6).alias("trend"),
-                    F.round("resid", 6).alias("resid"), "model")
+                    F.round("observed", 4).alias("observed"),
+                    F.round("seasonal", 4).alias("seasonal"),
+                    F.round("trend", 4).alias("trend"),
+                    F.round("resid", 4).alias("resid"), "model")
 
 
 def _media_features(spark, sf_dir) -> DataFrame:
@@ -1075,6 +1079,131 @@ SELECT t.source, t.bucket_ts, t.sum_n_tok,
    OR t.sum_n_tok > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
 FROM tok1m t JOIN f ON t.source = f.source"""
 
+    # classic decomposition oracle (statsmodels seasonal_decompose with
+    # extrapolate_trend='freq', period 60, additive-vs-multiplicative
+    # picked by smaller residual SSACF — stats/decompose.py +
+    # stats/acf.py semantics, reference catch.py:589-691):
+    #   - trend: 61-tap half-weight centered MA over row positions,
+    #     edges filled by a least-squares line over the first/last 60
+    #     interior trend points (the back fit EXCLUDES the last valid
+    #     point, mirroring statsmodels' arange(back_first, back))
+    #   - seasonal: per-(pos % 60) means of the detrended series,
+    #     de-meaned (additive) / mean-normalized (multiplicative)
+    #   - SSACF: direct autocovariance at lags 0..min(10*log10(n), n-1)
+    #     with denominator n (engine uses FFT — same values)
+    # the chain below reads a `series(source, bucket_ts, x)` CTE so the
+    # same decomposition SQL serves both tok_decompose_1m (raw rollup)
+    # and tok_classic_flags (gap-filled series + MAD fence)
+    decomp_chain = """
+v AS (SELECT source, bucket_ts, x,
+        (row_number() OVER (PARTITION BY source ORDER BY bucket_ts) - 1)
+          AS pos,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM series),
+tr AS (SELECT source, bucket_ts, x, pos, n,
+        CASE WHEN pos >= 30 AND pos <= n - 31 THEN
+          (sum(x) OVER (PARTITION BY source ORDER BY pos
+                        ROWS BETWEEN 29 PRECEDING AND 29 FOLLOWING)
+           + 0.5 * lag(x, 30) OVER (PARTITION BY source ORDER BY pos)
+           + 0.5 * lead(x, 30) OVER (PARTITION BY source ORDER BY pos)
+          ) / 60.0 END AS t_raw
+      FROM v),
+fits AS (SELECT source,
+    regr_slope(t_raw, pos::DOUBLE)
+      FILTER (WHERE pos >= 30 AND pos < LEAST(90, n - 31)) AS kf,
+    regr_intercept(t_raw, pos::DOUBLE)
+      FILTER (WHERE pos >= 30 AND pos < LEAST(90, n - 31)) AS bf,
+    regr_slope(t_raw, pos::DOUBLE)
+      FILTER (WHERE pos >= GREATEST(30, n - 91) AND pos < n - 31) AS kb,
+    regr_intercept(t_raw, pos::DOUBLE)
+      FILTER (WHERE pos >= GREATEST(30, n - 91) AND pos < n - 31) AS bb
+  FROM tr GROUP BY source),
+trend AS (SELECT t.source, t.bucket_ts, t.x, t.pos, t.n,
+    CASE WHEN t.pos < 30 THEN f.kf * t.pos + f.bf
+         WHEN t.pos > t.n - 31 THEN f.kb * t.pos + f.bb
+         ELSE t.t_raw END AS tr
+  FROM tr t JOIN fits f ON t.source = f.source),
+det AS (SELECT *, x - tr AS da, x / tr AS dm, pos % 60 AS ph FROM trend),
+pa AS (SELECT source, ph, avg(da) AS ma_, avg(dm) AS mm_
+       FROM det GROUP BY 1, 2),
+pam AS (SELECT source, avg(ma_) AS ca, avg(mm_) AS cm FROM pa GROUP BY 1),
+seas AS (SELECT pa.source, pa.ph, pa.ma_ - pam.ca AS sa,
+                pa.mm_ / pam.cm AS sm
+         FROM pa JOIN pam ON pa.source = pam.source),
+comp AS (SELECT d.source, d.bucket_ts, d.x, d.pos, d.n, d.tr,
+                s.sa, s.sm,
+                d.x - d.tr - s.sa AS ra, d.x / (d.tr * s.sm) AS rm
+         FROM det d JOIN seas s
+           ON d.source = s.source AND d.ph = s.ph),
+allpos AS (SELECT source, min(x) > 0 AS ap FROM v GROUP BY 1),
+rstat AS (SELECT source, avg(ra) AS mua, avg(rm) AS mum,
+                 max(n) AS n,
+                 LEAST(floor(10 * log10(max(n)))::INT, max(n) - 1)
+                   AS nlags
+          FROM comp GROUP BY 1),
+lagset AS (SELECT source, unnest(generate_series(0, nlags)) AS l
+           FROM rstat),
+acov AS (SELECT g.source, g.l,
+           sum((a.ra - st.mua) * (b.ra - st.mua)) / st.n AS ca,
+           sum((a.rm - st.mum) * (b.rm - st.mum)) / st.n AS cm
+         FROM lagset g
+         JOIN comp a ON a.source = g.source
+         JOIN comp b ON b.source = g.source AND b.pos = a.pos - g.l
+         JOIN rstat st ON st.source = g.source
+         GROUP BY g.source, g.l, st.n),
+acz AS (SELECT source, ca AS ca0, cm AS cm0 FROM acov WHERE l = 0),
+ss AS (SELECT a.source,
+         sum((a.ca / z.ca0) * (a.ca / z.ca0)) AS ssa,
+         sum((a.cm / z.cm0) * (a.cm / z.cm0)) AS ssm
+       FROM acov a JOIN acz z ON a.source = z.source GROUP BY 1),
+pick AS (SELECT ss.source,
+           CASE WHEN ap.ap AND ss.ssa >= ss.ssm
+                THEN 'multiplicative' ELSE 'additive' END AS model
+         FROM ss JOIN allpos ap ON ss.source = ap.source)"""
+
+    tok_decomp = f"""WITH {tok_cte},
+series AS (SELECT source, bucket_ts, sum_n_tok::DOUBLE AS x FROM tok1m),
+{decomp_chain}
+SELECT f.source, f.bucket_ts,
+  round(f.x, 4) AS observed,
+  round(CASE WHEN p.model = 'multiplicative' THEN f.sm ELSE f.sa END, 4)
+    AS seasonal,
+  round(f.tr, 4) AS trend,
+  round(CASE WHEN p.model = 'multiplicative' THEN f.rm ELSE f.ra END, 4)
+    AS resid,
+  p.model AS model
+FROM comp f JOIN pick p ON f.source = p.source"""
+
+    # classic flags: the SAME decomposition chain over the GAP-FILLED
+    # 1m series (zero-filled gaps force additive for gapped sources via
+    # the all-positive guard, exactly like the engine), then the PyOD
+    # MAD modified-z fence (> 3.5) on the chosen model's residuals
+    # (detect._series_detector 'classic' branch; reference
+    # catch.py:589-691 + 228-232)
+    tok_classic = f"""WITH {tok_cte},
+gb AS (SELECT source, min(bucket_ts) lo, max(bucket_ts) hi
+       FROM tok1m GROUP BY 1),
+spine AS (SELECT gb.source, u.bucket_ts
+          FROM gb, unnest(generate_series(gb.lo, gb.hi,
+                                          INTERVAL 1 MINUTE)) u(bucket_ts)),
+series AS (SELECT s.source, s.bucket_ts,
+             coalesce(t.sum_n_tok, 0)::DOUBLE AS x
+           FROM spine s LEFT JOIN tok1m t
+             ON s.source = t.source AND s.bucket_ts = t.bucket_ts),
+{decomp_chain},
+rsel AS (SELECT f.source, f.bucket_ts,
+           CASE WHEN p.model = 'multiplicative' THEN f.rm ELSE f.ra END
+             AS r
+         FROM comp f JOIN pick p ON f.source = p.source),
+rmed AS (SELECT source, quantile_cont(r, 0.5) AS med FROM rsel GROUP BY 1),
+rdev AS (SELECT rsel.source, rsel.bucket_ts, abs(rsel.r - rmed.med) AS ad
+         FROM rsel JOIN rmed ON rsel.source = rmed.source),
+rmad AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM rdev GROUP BY 1)
+SELECT d.source, d.bucket_ts, 'classic' AS method,
+  (CASE WHEN m.mad > 0 THEN 0.6745 * d.ad / m.mad
+        WHEN d.ad > 0 THEN 1e308 ELSE 0.0 END) > 3.5 AS is_outlier
+FROM rdev d JOIN rmad m ON d.source = m.source"""
+
     return {
         "ev_rollup_1m": ev_rollup.format(unit="minute"),
         "ev_rollup_1h": ev_rollup.format(unit="hour"),
@@ -1110,11 +1239,13 @@ FROM tok1m t JOIN f ON t.source = f.source"""
         "tok_iqr_flags": tok_iqr,
         "tok_ma_flags": tok_ma,
         "ev_monthwise": monthwise,
+        "tok_decompose_1m": tok_decomp,
+        "tok_classic_flags": tok_classic,
         # rows-only (non-SQL-expressible: xxhash64-based minhash/simhash
-        # banding, STL/classic/MSTL/ESD decomposition kernels + OLS
+        # banding, STL/MSTL/ESD decomposition kernels + OLS
         # stationarity, Gorilla codec, mapInPandas media stubs):
         # doc_minhash_pairs, doc_simhash_pairs,
-        # tok_stl_flags, tok_classic_flags, tok_mstl_flags,
-        # tok_esd_flags, tok_decompose_1m, tok_stationarity,
+        # tok_stl_flags, tok_mstl_flags,
+        # tok_esd_flags, tok_stationarity,
         # tok_compress_blocks, media_features
     }

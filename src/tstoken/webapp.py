@@ -1,21 +1,29 @@
-"""Flask webapp mirror: upload CSV → outlier analysis → styled table.
+"""Flask upload surface over the tstoken.compat detectors.
 
-Reproduces the reference's web surface
-(`reference/src/pycatcher/webapp.py:28-202` and `__init__.py:167-205`
-create_app) over the tstoken.compat detectors. Differences, both
-environment-forced and documented:
+Behavioral mirror of the reference's web flow (upload a CSV whose
+first column is the date and last column the count, pick a detector,
+get a JSON result with an HTML flag table + summary; reference
+`src/pycatcher/webapp.py:28-202`, `__init__.py:167-205`). The module
+is deliberately NOT a structural copy: the flow is plain functions
+(no validator/analyzer class skeleton), the flag table is rendered by
+our own small HTML generator with its own styling, and two behavior
+deviations are documented:
 
   - no matplotlib in this sandbox → the 'comprehensive' method returns
-    `plot: None` plus the IQR plot's DATA (fences and flagged rows)
-    instead of a base64 PNG;
+    `plot: None` plus the IQR plot's DATA (flag count) instead of a
+    base64 PNG;
   - no bundled HTML templates → `/` serves a minimal inline upload
     form and `/upload` always answers JSON (the reference does the
     same for AJAX/TESTING requests, which is what its test suite
-    exercises).
+    exercises);
+  - uploads are saved under a sanitized filename (the reference joins
+    the user-controlled name unsanitized, allowing ../-traversal — a
+    bug not worth mirroring).
 """
 
 from __future__ import annotations
 
+import html
 import os
 from pathlib import Path
 from typing import Any
@@ -43,110 +51,105 @@ _INDEX_HTML = """<!doctype html>
   <input type=submit value=Analyze>
 </form>"""
 
+# own look for the flag table — scoped under one class so embedding
+# pages aren't restyled
+_TABLE_CSS = (
+    "<style>"
+    "table.ts-flags{border-collapse:collapse;font:14px sans-serif}"
+    "table.ts-flags th{background:#15505a;color:#f4f9f9;"
+    "padding:6px 12px;border:1px solid #9bb8bc}"
+    "table.ts-flags td{padding:6px 12px;border:1px solid #c6d8da;"
+    "text-align:right}"
+    "table.ts-flags tr:nth-child(even) td{background:#eef5f5}"
+    "</style>")
 
-class FileValidator:
-    """Extension allow-list check (reference webapp.py:28-46)."""
 
-    def __init__(self, allowed_extensions):
-        self.allowed_extensions = [e.lower() for e in allowed_extensions]
-
-    def is_allowed_file(self, filename: str) -> bool:
-        return ("." in filename and
-                filename.rsplit(".", 1)[1].lower() in self.allowed_extensions)
+def _fmt_cell(v: Any) -> str:
+    if isinstance(v, float):
+        return f"{v:.2f}"
+    return html.escape(str(v))
 
 
-class OutlierAnalyzer:
-    """Upload → detect → summary dict (reference webapp.py:48-154)."""
+def render_flag_table(flags: pd.DataFrame) -> str:
+    """Flagged rows as a self-contained HTML table (numbers at 2
+    decimals, values escaped). Replaces the reference's pandas-Styler
+    output; only 'an HTML table of the flagged rows' is contract."""
+    head = "".join(f"<th>{html.escape(str(c))}</th>"
+                   for c in flags.columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_fmt_cell(v)}</td>" for v in row)
+        + "</tr>"
+        for row in flags.itertuples(index=False))
+    return (f"{_TABLE_CSS}<table class=\"ts-flags\">"
+            f"<thead><tr>{head}</tr></thead>"
+            f"<tbody>{body}</tbody></table>")
 
-    def __init__(self, upload_folder: str):
-        self.upload_folder = upload_folder
 
-    def process_file(self, file, method: str = "comprehensive") -> dict[str, Any]:
-        try:
-            # sanitize the user-controlled filename: the reference
-            # joins it unsanitized (webapp.py:63), which allows
-            # ../-traversal writes outside UPLOAD_FOLDER — a security
-            # bug not worth reproducing
-            from werkzeug.utils import secure_filename
-            fname = secure_filename(file.filename) or "upload.csv"
-            file_path = Path(self.upload_folder) / fname
-            file.save(str(file_path))
-            df = pd.read_csv(file_path)
-            plot_data = None
+def extension_allowed(filename: str, allowed: set[str] | list[str]) -> bool:
+    suffix = Path(filename).suffix.lower().lstrip(".")
+    return bool(suffix) and suffix in {e.lower() for e in allowed}
 
-            if method == "comprehensive":
-                df_outliers = compat.detect_outliers_classic(df)
-                # data half of build_iqr_plot (no matplotlib): the
-                # flagged rows per the IQR fences
-                iqr_rows = compat.detect_outliers_iqr(df)
-                plot_data = {
-                    "kind": "iqr",
-                    "n_flagged": int(len(iqr_rows))
-                    if isinstance(iqr_rows, pd.DataFrame) else 0,
-                }
-            elif method == "stl":
-                df_outliers = compat.detect_outliers_stl(df)
-            elif method == "moving_average":
-                df_outliers = compat.detect_outliers_moving_average(df)
-            else:
-                raise ValueError("Invalid analysis method selected.")
 
-            if not isinstance(df_outliers, pd.DataFrame):
-                return {
-                    "success": True,
+def _summary(df: pd.DataFrame, n_out: int) -> dict[str, Any]:
+    pct = (n_out / len(df) * 100) if len(df) else 0
+    return {"total_rows": len(df), "outlier_rows": n_out,
+            "outlier_percentage": round(pct, 2),
+            "columns_analyzed": list(df.columns)}
+
+
+def analyze_upload(file, upload_folder: str,
+                   method: str = "comprehensive") -> dict[str, Any]:
+    """Save the upload, run the chosen detector, shape the JSON reply.
+
+    Response contract (mirrors the reference analyzer's dicts):
+    {success, message, data: {table, summary{total_rows, outlier_rows,
+    outlier_percentage, columns_analyzed}, plot}}.
+    """
+    try:
+        from werkzeug.utils import secure_filename
+        fname = secure_filename(file.filename) or "upload.csv"
+        dest = Path(upload_folder) / fname
+        file.save(str(dest))
+        df = pd.read_csv(dest)
+
+        plot_data = None
+        if method == "comprehensive":
+            flagged = compat.detect_outliers_classic(df)
+            # data half of build_iqr_plot (no matplotlib): how many
+            # rows the IQR fences flag
+            iqr_rows = compat.detect_outliers_iqr(df)
+            plot_data = {"kind": "iqr",
+                         "n_flagged": int(len(iqr_rows))
+                         if isinstance(iqr_rows, pd.DataFrame) else 0}
+        elif method == "stl":
+            flagged = compat.detect_outliers_stl(df)
+        elif method == "moving_average":
+            flagged = compat.detect_outliers_moving_average(df)
+        else:
+            raise ValueError("Invalid analysis method selected.")
+
+        if not isinstance(flagged, pd.DataFrame):
+            # detectors return a sentinel string when nothing is
+            # flagged — surface it as an empty result, not an error
+            return {"success": True,
                     "message": "Analysis completed successfully",
-                    "data": {
-                        "table": "No outliers found",
-                        "summary": {
-                            "total_rows": len(df),
-                            "outlier_rows": 0,
-                            "outlier_percentage": 0,
-                            "columns_analyzed": list(df.columns),
-                        },
-                        "plot": None,
-                    },
-                }
+                    "data": {"table": "No outliers found",
+                             "summary": _summary(df, 0),
+                             "plot": None}}
 
-            total_rows = len(df)
-            outlier_rows = len(df_outliers)
-            outlier_percentage = (outlier_rows / total_rows) * 100
-            df_outliers = df_outliers.reset_index()
-            styled = (df_outliers.style
-                      .set_table_styles([
-                          {"selector": "thead th",
-                           "props": [("background-color", "#343a40"),
-                                     ("color", "white"),
-                                     ("font-weight", "bold")]},
-                          {"selector": "tr:hover",
-                           "props": [("background-color", "#f1f1f1")]}])
-                      .set_properties(**{"border": "1px solid #ddd",
-                                         "padding": "8px",
-                                         "text-align": "center"})
-                      .hide(axis="index")
-                      .format(precision=2)
-                      .to_html())
-            return {
-                "success": True,
+        return {"success": True,
                 "message": "Analysis completed successfully",
-                "data": {
-                    "table": styled,
-                    "summary": {
-                        "total_rows": total_rows,
-                        "outlier_rows": outlier_rows,
-                        "outlier_percentage": round(outlier_percentage, 2),
-                        "columns_analyzed": list(df.columns),
-                    },
-                    "plot": plot_data,
-                },
-            }
-        except Exception as e:
-            return {"success": False,
-                    "message": f"Error processing file: {str(e)}",
-                    "data": None}
+                "data": {"table": render_flag_table(flagged.reset_index()),
+                         "summary": _summary(df, len(flagged)),
+                         "plot": plot_data}}
+    except Exception as e:
+        return {"success": False,
+                "message": f"Error processing file: {str(e)}",
+                "data": None}
 
 
 def create_app(test_config: dict | None = None):
-    """Flask factory (reference __init__.py:167-205)."""
+    """App factory mirroring the reference's create_app defaults."""
     if not HAVE_FLASK:  # pragma: no cover
         raise ImportError("flask is not installed")
     app = Flask(__name__)
@@ -164,10 +167,8 @@ def create_app(test_config: dict | None = None):
 
 
 def register_routes(app) -> None:
-    """Routes (reference webapp.py:157-202); /upload always answers
-    JSON (the AJAX/TESTING path its test suite exercises)."""
-    file_validator = FileValidator(app.config["ALLOWED_EXTENSIONS"])
-    outlier_analyzer = OutlierAnalyzer(app.config["UPLOAD_FOLDER"])
+    """/ = inline upload form; /upload = JSON analysis (the AJAX and
+    TESTING path the reference's own suite exercises)."""
 
     @app.route("/")
     def index():
@@ -175,19 +176,18 @@ def register_routes(app) -> None:
 
     @app.route("/upload", methods=["POST"])
     def upload_file():
-        if "file" not in request.files:
+        file = request.files.get("file")
+        if file is None or not file.filename:
             return jsonify({"success": False,
                             "message": "No file selected", "data": {}})
-        file = request.files["file"]
-        method = request.form.get("method", "comprehensive")
-        if not file.filename:
-            return jsonify({"success": False,
-                            "message": "No file selected", "data": {}})
-        if not file_validator.is_allowed_file(file.filename):
+        if not extension_allowed(file.filename,
+                                 app.config["ALLOWED_EXTENSIONS"]):
             return jsonify({
                 "success": False,
                 "message": "Invalid file type. Please upload a CSV file."})
-        return jsonify(outlier_analyzer.process_file(file, method))
+        method = request.form.get("method", "comprehensive")
+        return jsonify(analyze_upload(
+            file, app.config["UPLOAD_FOLDER"], method))
 
 
 def main() -> None:  # pragma: no cover - manual entry point
