@@ -59,8 +59,16 @@ def pipeline():
     n_1h = t1h.count()
     n_1d = rollup.rollup_cascade(t1h, "1d").count()
     gf = gapfill.gap_fill(t1m, "1m")
-    detect.iqr_flags(gf).write.format("noop").mode("overwrite").save()
-    detect.mad_flags(gf).write.format("noop").mode("overwrite").save()
+    # both detectors in ONE action: the union's two branches (each a
+    # fence agg + broadcast join over the persisted 1m tier) schedule
+    # as concurrent stages of a single job, so the high-thread levels
+    # keep their cores fed instead of paying two back-to-back barriers
+    from pyspark.sql import functions as SF
+    flags = detect.iqr_flags(gf).select(
+        "source", "bucket_ts", SF.lit("iqr").alias("m"), "is_outlier") \
+        .unionByName(detect.mad_flags(gf).select(
+            "source", "bucket_ts", SF.lit("mad").alias("m"), "is_outlier"))
+    flags.write.format("noop").mode("overwrite").save()
     t1h.unpersist(); t1m.unpersist()
     return n_1m + n_1h + n_1d
 
@@ -185,6 +193,12 @@ def efficiency(res: dict, lo: int, hi: int) -> float:
                  / (hi / lo), 3)
 
 
+def _verdict_cell(summary: dict, tag: str) -> str:
+    v = summary.get(f"pass_{tag}")
+    return "n/a (level not measured)" if v is None else \
+        ("PASS" if v else "FAIL")
+
+
 def render_md(summary: dict) -> str:
     rows = ["| level | best wall (s) | all iterations (s) | rolled points/s | raw rows/s |",
             "|---|---|---|---|---|"]
@@ -193,6 +207,25 @@ def render_md(summary: dict) -> str:
             f"| {name} | {r['wall_sec']} | {r['walls']} "
             f"| {r['points_per_sec']:,.0f} | {r['raw_rows_per_sec']:,.0f} |")
     table = "\n".join(rows)
+    lo_pass = summary.get("pass_2_to_8")
+    hi_pass = summary.get("pass_8_to_32")
+    if lo_pass and hi_pass:
+        verdict_context = (
+            "Both N->4N pairs meet the criterion under the "
+            "conservative pooled estimator. Context on the estimator "
+            "itself:")
+    elif lo_pass and not hi_pass:
+        verdict_context = (
+            "The low pair (the faithful proxy for adding executors — "
+            "see below) meets the criterion; the high pair falls "
+            "short of it even after hardware normalization. Context "
+            "the reader should weigh — context, not excuses; every "
+            "number behind it is published:")
+    else:
+        verdict_context = (
+            "Under this conservative pooled estimator the table says "
+            "FAIL. Context the reader should weigh — context, not "
+            "excuses; every number behind it is published:")
     merged = int(summary.get("merged_runs", 1))
     pooled = ("" if merged <= 1 else
               f"\nWalls below are pooled across {merged} independent "
@@ -224,8 +257,8 @@ nothing is reused across iterations.
 
 | N -> 4N pair | raw efficiency | hw ceiling | **normalized** | criterion | verdict |
 |---|---|---|---|---|---|
-| local[2] -> local[8] | {summary['scaling_efficiency_2_to_8']} | {summary.get('hw_ceiling_2_to_8', 'n/a')} | **{summary.get('normalized_efficiency_2_to_8', 'n/a')}** | >= 0.8 | {"PASS" if summary['pass_2_to_8'] else "FAIL"} |
-| local[8] -> local[32] | {summary['scaling_efficiency_8_to_32']} | {summary.get('hw_ceiling_8_to_32', 'n/a')} | **{summary.get('normalized_efficiency_8_to_32', 'n/a')}** | >= 0.8 | {"PASS" if summary['pass_8_to_32'] else "FAIL"} |
+| local[2] -> local[8] | {summary.get('scaling_efficiency_2_to_8', 'n/a')} | {summary.get('hw_ceiling_2_to_8', 'n/a')} | **{summary.get('normalized_efficiency_2_to_8', 'n/a')}** | >= 0.8 | {_verdict_cell(summary, '2_to_8')} |
+| local[8] -> local[32] | {summary.get('scaling_efficiency_8_to_32', 'n/a')} | {summary.get('hw_ceiling_8_to_32', 'n/a')} | **{summary.get('normalized_efficiency_8_to_32', 'n/a')}** | >= 0.8 | {_verdict_cell(summary, '8_to_32')} |
 
 **Hardware ceiling** = what this virtualized box itself delivers going
 N -> 4N, measured with independent pure-Python CPU-burn processes (no
@@ -239,38 +272,27 @@ would inflate the normalized value. **Normalized** = engine
 efficiency / ceiling — the fraction of achievable scaling the engine
 captures; the verdict column applies the >= 0.8 criterion to it.
 
-**Reading the verdicts honestly.** Under this conservative pooled
-estimator BOTH pairs land just under the 0.8 line (low pair raw 0.79 /
-normalized 0.79; high pair raw 0.65 / normalized 0.77) and the table
-says FAIL. Context the reader should weigh — context, not excuses;
-every number behind it is published:
+**Reading the verdicts honestly.** {verdict_context}
 
-- Round 1, on a quieter host, the SAME harness and engine measured
-  raw 2->8 = 0.78 / normalized 0.808 PASS (and a 7-iteration run
-  measured raw 0.867). The round-2 campaign (5 runs, 30-42 iterations
-  per level) ran on a progressively degrading host: individual
-  iterations spiked 2-5x, whole ~10-minute level windows were
-  contended, and by the final runs the CPU-burn calibration itself
-  had HALVED (calibration_runs in scaling.json: 3326->1517 units at
-  2 procs). Pooling mins across runs recovers quiet-window walls per
-  level, but each level's min keeps improving independently, so the
-  ratio is the division of two noisy floors — ±0.05-0.1 swings
-  between runs were observed in both directions.
-- The residual high-pair shortfall is fixed per-JOB cost, not a
-  scaling defect of the plan: driver-side plan analysis, stage
-  scheduling and six stage barriers cost the same seconds at every
-  thread count, and at this deliberately small proxy size (2M rows,
-  ~15 s at local[32]) they are a double-digit percentage of the wall.
-  At the 10^12-row design point the same seconds are noise. A 6M-row
-  8->32 measurement intended to demonstrate the amortization
-  (BENCH/scaling_6m.json) unfortunately landed in the most contended
-  window of the session (its own calibration shows the host at ~half
-  capacity) and is inconclusive; it is kept as recorded data, not
-  evidence either way.
+- This shared VM's contention moves single iterations by 2-5x and
+  whole ~10-minute level windows at once; each level's pooled min
+  improves independently across runs, so the ratio is a division of
+  two noisy floors — ±0.05-0.1 swings between campaigns were observed
+  in both directions across rounds 1-3. Every iteration of every run
+  stays listed above.
 - The engine has no algorithmic serial section: it shards by
   (source, bucket_ts, salt), uses broadcast-only small joins and
   associative tier cascades, and every stage's task count scales with
-  input splits, not with a fixed constant.
+  input splits, not with a fixed constant. Scan splits are sized
+  (32 MB) so every level runs >= 3-4 task waves — at 6M rows the
+  default 128 MB splits left local[32] a single ragged wave and cost
+  ~38% of its wall (round-3 fix, measured 47 s -> 29 s).
+- Residual high-pair shortfall beyond the ceiling is fixed per-JOB
+  cost (driver plan analysis, stage barriers) that is constant in
+  thread count and double-digit percent of a sub-minute proxy wall;
+  at the 10^12-row design point the same seconds are noise. Growing
+  the input from 2M to 6M rows moved the low pair from raw 0.79 to
+  0.94 (BENCH/scaling_6m.json), the predicted amortization.
 
 Both pairs are reported for honesty about the proxy's limits: all
 threads of a `local[k]` master share ONE memory subsystem and ONE JVM
@@ -371,17 +393,32 @@ def main():
                 if prev_stamp is not None and \
                         prev_stamp.get("stage_checksum") != \
                         stamp["stage_checksum"]:
+                    # refuse LOUDLY and write NOTHING: silently dropping
+                    # the prior levels would overwrite scaling.json with
+                    # a partial-levels summary (and, combined with
+                    # --levels, lose the pooled evidence entirely). The
+                    # fresh walls just measured are printed for the
+                    # operator to save via --out on a re-run.
                     print(json.dumps({
-                        "merge_refused": "stage checksum mismatch",
-                        "prev": prev_stamp, "cur": stamp}), flush=True)
-                    prev = {}
-                elif prev_stamp is None:
-                    merge_notes.append(
-                        f"prior run {prev_path} predates code stamping; "
-                        "pooled on rows-match only (measured stage files "
-                        "verified unchanged via git history at merge "
-                        "time)")
+                        "merge_refused": "stage checksum mismatch — "
+                        "refusing to pool walls across code versions; "
+                        "run a fresh full campaign or pass --out",
+                        "prev": prev_stamp, "cur": stamp,
+                        "fresh_levels": {f"local[{c}]": r
+                                         for c, r in res.items()}},
+                        ), flush=True)
+                    sys.exit(3)
                 if prev.get("rows") == rows:
+                    if prev_stamp is None:
+                        merge_notes.append(
+                            f"prior run {prev_path} predates code "
+                            "stamping: engine-version equality is NOT "
+                            "verified for its walls; pooled on "
+                            "rows-match only")
+                    # carry prior provenance forward — a second merge
+                    # must not silently drop the first one's disclosure
+                    merge_notes = list(prev.get("merge_notes", [])) \
+                        + merge_notes
                     merged_runs = int(prev.get("merged_runs", 1)) + 1
                     prior_cals = prev.get(
                         "calibration_runs",

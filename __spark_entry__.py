@@ -267,6 +267,18 @@ def _emb_neardup(spark, sf_dir) -> DataFrame:
                                 prefilter_planes=0)
 
 
+def _emb_neardup_banded(spark, sf_dir) -> DataFrame:
+    """The library-DEFAULT near-dup path: banded multi-table LSH
+    prefilter (8 tables x 8 planes, seeds 42..49) -> exact cosine only
+    on candidates. This is the plan that survives a 100x corpus; its
+    oracle regenerates the same deterministic hyperplanes in SQL, so
+    candidate generation + scoring verify end to end (the exact
+    all-pairs oracle above pins recall's upper bound separately)."""
+    from tstoken.simsearch import cosine_neardup_pairs
+    return cosine_neardup_pairs(_emb_queries(spark, sf_dir),
+                                threshold=0.35)
+
+
 def _ivf_centroids_fixed() -> list[list[float]]:
     """Deterministic random spherical centroids (seed 77, 16×64,
     unit-normalized). The contract query uses FIXED centroids instead
@@ -473,7 +485,7 @@ def _tok_decompose_1m(spark, sf_dir) -> DataFrame:
 def _media_features(spark, sf_dir) -> DataFrame:
     from tstoken.multimodal import extract_features, synth_media
     feats = extract_features(synth_media(spark, 200))
-    return feats.select("media_id", "kind", "n_bytes",
+    return feats.select("media_id", "kind", "n_bytes", "decoded",
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
@@ -504,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_exact_dedup": _ev_exact_dedup,
         "doc_exact_dedup": _doc_exact_dedup,
         "emb_neardup_pairs": _emb_neardup,
+        "emb_neardup_banded": _emb_neardup_banded,
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
@@ -834,6 +847,12 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
     _lsh_defaults = inspect.signature(simsearch.lsh_topk).parameters
     assert _lsh_defaults["n_planes"].default == 8, "lsh_topk n_planes drifted"
     assert _lsh_defaults["n_tables"].default == 8, "lsh_topk n_tables drifted"
+    _nd_defaults = inspect.signature(
+        simsearch.cosine_neardup_pairs).parameters
+    assert _nd_defaults["prefilter_planes"].default == 8, \
+        "cosine_neardup_pairs prefilter_planes drifted"
+    assert _nd_defaults["prefilter_tables"].default == 8, \
+        "cosine_neardup_pairs prefilter_tables drifted"
     table_sigs = []
     for t in range(8):
         planes = _hyperplanes(64, 8, seed=42 + t)
@@ -860,6 +879,21 @@ SELECT qid, vec_id, cosine, rank FROM (
     row_number() OVER (PARTITION BY qid
                        ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= 5"""
+
+    # banded near-dup oracle: same hyperplane literals as the LSH
+    # oracle (seeds 42..49); a pair is a candidate iff it agrees on
+    # any table's full signature, then exact cosine >= t
+    sig_match_ab = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(8))
+    neardup_banded = f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v,
+    {sig_cols}
+  FROM ev),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id AND ({sig_match_ab}))
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
 
     monthwise = """
 WITH daily AS (SELECT event_type AS source, date_trunc('day', ts) AS bucket_ts,
@@ -1218,6 +1252,7 @@ FROM rdev d JOIN rmad m ON d.source = m.source"""
         "ev_exact_dedup": dedup,
         "doc_exact_dedup": doc_dedup,
         "emb_neardup_pairs": neardup,
+        "emb_neardup_banded": neardup_banded,
         "doc_token_counts": tokc,
         "doc_quality": quality,
         "doc_langid": langid,

@@ -1,24 +1,38 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded and featurized inside Arrow-batched mapInPandas.
 
-The decode/resize/frame-sample kernels are STUBBED (no image/audio
-libraries in this container — clearly marked below); the Spark-side
-plumbing is real and tested: schema, partition-preserving mapInPandas
-with bounded Arrow batches, and deterministic fake feature extraction
-so the pipeline shape (binary in → fixed-dim feature vector out) is
-exercised end-to-end.
+Decoders are REAL for the container formats parseable with NumPy alone
+(no image/audio library exists in this sandbox):
+
+  - images: binary PPM/PGM (P6/P5) — header + raw pixels;
+  - audio: RIFF/WAVE with 16-bit PCM — chunk walk + frombuffer;
+  - video: a minimal deterministic frame container (``TSVC`` magic,
+    fps, length-prefixed PPM frames) defined here so frame sampling
+    has a real binary format to operate on.
+
+Formats that require codecs this container lacks (JPEG/PNG, MP3/AAC,
+MP4/H.264) raise NotImplementedError from the same entry points —
+clearly marked, not silently faked. Feature extraction falls back to a
+byte-histogram ONLY for payloads that fail to decode, and the fallback
+is visible in the `decoded` output column.
+
+The Spark-side plumbing is the 100 TB shape regardless of codec:
+binary columns stay opaque to the JVM, partition-streamed through
+mapInPandas with bounded Arrow batches, no collect, fixed-dim float
+feature output.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                               FloatType, IntegerType, StringType,
+                               StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType()),
@@ -35,53 +49,238 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", StringType()),
     StructField("kind", StringType()),
     StructField("n_bytes", IntegerType()),
+    StructField("decoded", BooleanType()),
     StructField("feature", ArrayType(FloatType())),
 ])
 
-
-def decode_image(payload: bytes):
-    """STUB: real implementation needs Pillow/libjpeg (absent here)."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "container; use fake_features for pipeline tests")
+VIDEO_MAGIC = b"TSVC"
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    """STUB: real implementation needs Pillow (absent here)."""
-    raise NotImplementedError(
-        "image resize requires an image library not present in this "
-        "container; the Spark-side plumbing is extract_features")
+# ------------------------------------------------------------- images
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8; PGM (P5) → (H, W) uint8.
 
-def sample_video_frames(payload: bytes, every_ms: int = 1000):
-    """STUB: real implementation needs ffmpeg/pyav (absent here)."""
-    raise NotImplementedError("video frame sampling requires ffmpeg/pyav")
-
-
-def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic fake feature: byte-histogram folded to FEATURE_DIM.
-
-    Stands in for a decoder+CNN so batch shapes / schemas are real.
+    JPEG/PNG need libjpeg/libpng (absent in this container) and raise
+    NotImplementedError.
     """
+    if payload[:2] in (b"\xff\xd8", b"\x89P"):
+        raise NotImplementedError(
+            "JPEG/PNG decode requires an image library not present in "
+            "this container; supported here: binary PPM/PGM")
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, width, height, maxval as whitespace-separated
+    # ASCII tokens ('#' comments allowed), then one whitespace byte
+    # and raw pixel data
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    if len(payload) - i < w * h * ch:
+        raise ValueError("truncated PPM pixel data")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return pix.reshape(h, w, 3) if ch == 3 else pix.reshape(h, w)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → binary PPM/PGM bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_image(payload: bytes | np.ndarray, width: int,
+                 height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure NumPy index sampling)."""
+    img = decode_image(payload) if isinstance(
+        payload, (bytes, bytearray)) else np.asarray(payload)
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[rows][:, cols]
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    return img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+
+
+def image_feature(payload: bytes) -> np.ndarray:
+    """32-dim: 4x4 grid of mean intensities + 16-bin gray histogram."""
+    g = _gray(decode_image(payload))
+    grid = resize_image(g.astype(np.uint8), 4, 4).astype(np.float64) / 255.0
+    hist = np.histogram(g, bins=16, range=(0, 256))[0].astype(np.float64)
+    hist /= max(hist.sum(), 1.0)
+    return np.concatenate([grid.ravel(), hist])
+
+
+# -------------------------------------------------------------- audio
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM → (sample_rate, float64 mono in [-1, 1]).
+
+    Compressed codecs (MP3/AAC/…) raise NotImplementedError.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM is decodable without an audio library; "
+            "got a non-WAV payload")
+    i, rate, nch, data = 12, None, 1, None
+    while i + 8 <= len(payload):
+        cid, size = payload[i:i + 4], struct.unpack(
+            "<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit PCM WAV is decodable here")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(x: np.ndarray, rate: int = 8000) -> bytes:
+    """float array in [-1, 1] → 16-bit PCM mono WAV bytes."""
+    pcm = np.clip(np.asarray(x) * 32767.0, -32768, 32767) \
+        .astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def audio_feature(payload: bytes) -> np.ndarray:
+    """32-dim: mean |FFT| magnitude in 32 equal frequency bands."""
+    _, x = decode_audio(payload)
+    if len(x) == 0:
+        return np.zeros(FEATURE_DIM)
+    mag = np.abs(np.fft.rfft(x))
+    bands = np.array_split(mag, FEATURE_DIM)
+    return np.array([float(b.mean()) if len(b) else 0.0 for b in bands])
+
+
+# -------------------------------------------------------------- video
+
+def encode_video(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Frames → TSVC container: magic, u16 fps, u32 n_frames, then
+    u32-length-prefixed binary-PPM frames. Defined by this engine so
+    video sampling has a real, dependency-free binary format."""
+    out = [VIDEO_MAGIC, struct.pack("<HI", fps, len(frames))]
+    for fr in frames:
+        blob = encode_ppm(fr)
+        out.append(struct.pack("<I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def sample_video_frames(payload: bytes,
+                        every_ms: int = 1000) -> list[np.ndarray]:
+    """Every k-th frame of a TSVC container, k = fps * every_ms / 1000.
+
+    Real containers (MP4/H.264 etc.) need ffmpeg/pyav and raise
+    NotImplementedError.
+    """
+    if payload[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "only the TSVC frame container is decodable without "
+            "ffmpeg/pyav; got a non-TSVC payload")
+    fps, n = struct.unpack("<HI", payload[4:10])
+    step = max(int(round(fps * every_ms / 1000.0)), 1)
+    frames, i = [], 10
+    for k in range(n):
+        size = struct.unpack("<I", payload[i:i + 4])[0]
+        if k % step == 0:
+            frames.append(decode_image(payload[i + 4:i + 4 + size]))
+        i += 4 + size
+    return frames
+
+
+def video_feature(payload: bytes) -> np.ndarray:
+    frames = sample_video_frames(payload, every_ms=1000)
+    if not frames:
+        return np.zeros(FEATURE_DIM)
+    return np.mean([image_feature(encode_ppm(f)) for f in frames], axis=0)
+
+
+# ----------------------------------------------------- feature extract
+
+def _byte_histogram(payload: bytes) -> np.ndarray:
+    """Fallback for undecodable payloads: byte histogram folded to
+    FEATURE_DIM (visible via decoded=false, never silent)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
-    denom = float(hist.sum()) or 1.0
-    return hist / denom
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM)
+    return np.bincount(arr % FEATURE_DIM,
+                       minlength=FEATURE_DIM).astype(np.float64)
+
+
+_KIND_FEATURES = {"image": image_feature, "audio": audio_feature,
+                  "video": video_feature}
+
+
+def _featurize(kind: str, payload: bytes) -> tuple[bool, np.ndarray]:
+    fn = _KIND_FEATURES.get(kind)
+    if fn is not None:
+        try:
+            return True, fn(payload)
+        except (NotImplementedError, ValueError, struct.error,
+                IndexError):
+            pass
+    return False, _byte_histogram(payload)
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """mapInPandas feature extraction with bounded Arrow batches —
-    the real 100TB plumbing (per-partition streaming, no collect)."""
+    the real 100 TB plumbing (per-partition streaming, no collect).
+    Features are L1-normalized so every kind emits a comparable
+    32-dim distribution; `decoded` reports whether the real decoder
+    ran or the byte-histogram fallback did. A decodable-but-empty
+    medium (e.g. an all-zero PCM data chunk) keeps its all-zero
+    vector rather than being renormalized into a fake distribution —
+    downstream similarity code must guard zero norms (simsearch's
+    cosine already does)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_feature(p if p is not None else b"")
-                     for p in pdf["payload"]]
+            decoded, feats = [], []
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
+                ok, v = _featurize(kind, bytes(p) if p is not None else b"")
+                denom = float(np.sum(v))
+                feats.append((v / denom if denom > 0 else v)
+                             .astype(np.float32))
+                decoded.append(bool(ok))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(p) if p is not None else 0
                             for p in pdf["payload"]],
+                "decoded": decoded,
                 "feature": feats,
             })
 
@@ -93,13 +292,37 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 
 def synth_media(spark, n: int = 200) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
-    kinds = ["image", "audio", "video"]
+    """Deterministic media table with REAL payloads: P6 images (seeded
+    gradient + noise), 16-bit PCM WAVs (seeded sine mix), TSVC frame
+    containers — every payload decodes with the functions above."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(1000 + i)
-        payload = rng.integers(0, 256, size=64 + (i % 512),
-                               dtype=np.uint8).tobytes()
-        rows.append((f"m-{i:06d}", kinds[i % 3], bytearray(payload),
-                     64 + i % 128, 64 + i % 96, (i % 60) * 1000))
+        kind = ["image", "audio", "video"][i % 3]
+        w, h = 16 + i % 48, 12 + i % 36
+        if kind == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 255 / max(w - 1, 1) + yy * 255 / max(h - 1, 1))
+                   / 2 + rng.normal(0, 12, (h, w))).clip(0, 255)
+            payload = encode_ppm(np.stack(
+                [img, np.roll(img, 3, axis=1), img[::-1]], axis=2)
+                .astype(np.uint8))
+            dur = 0
+        elif kind == "audio":
+            t = np.arange(800 + (i % 5) * 400) / 8000.0
+            f0 = 200 + (i % 20) * 40
+            x = (0.6 * np.sin(2 * np.pi * f0 * t)
+                 + 0.3 * np.sin(2 * np.pi * 2.5 * f0 * t)
+                 + rng.normal(0, 0.02, t.shape))
+            payload = encode_wav(x, rate=8000)
+            dur = int(len(t) / 8.0)
+        else:
+            frames = []
+            for k in range(2 + i % 4):
+                yy, xx = np.mgrid[0:h, 0:w]
+                fr = ((xx + yy + 17 * k) % 256).astype(np.uint8)
+                frames.append(np.stack([fr, fr, fr], axis=2))
+            payload = encode_video(frames, fps=4)
+            dur = int(len(frames) * 250)
+        rows.append((f"m-{i:06d}", kind, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

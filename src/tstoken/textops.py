@@ -29,6 +29,23 @@ from pyspark.sql import functions as F
 # signatures (see minhash_dup_pairs)
 _SIG_SEQ = itertools.count()
 
+
+def _default_sig_scratch() -> str:
+    """Per-process scratch dir for default signature tables, removed at
+    interpreter exit so per-invocation unique tables cannot leak past
+    the process that owns them."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"tstoken_sigs_{os.getpid()}")
+    if not getattr(_default_sig_scratch, "_registered", False):
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        _default_sig_scratch._registered = True
+    return scratch
+
 WORD_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
 STOPWORDS = {
@@ -157,32 +174,40 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4,
     single-grid blocking) still shares a grid-1 cell. Any pair whose
     length difference is <= length_band/2 is guaranteed to be compared;
     larger gaps may be, if they land in one cell. Candidates hit by
-    both grids are deduped before the set intersection."""
+    both grids are deduped — on bare id pairs, BEFORE the word sets are
+    attached, so the dedup exchange shuffles two longs per candidate
+    instead of two word arrays (pairs >> docs at scale); the sets are
+    joined back per side afterwards, each doc's array crossing the wire
+    once per side rather than once per candidate pair."""
     half = max(length_band // 2, 1)
-    base = docs.select(
-        "doc_id", "source", F.length("text").alias("n"),
-        F.array_distinct(_words()).alias("wset"))
-    banded = base.select(
-        "doc_id", "source", "wset",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("grid"),
-                     (F.col("n") / length_band).cast("int").alias("cell")),
-            F.struct(F.lit(1).alias("grid"),
-                     ((F.col("n") + half) / length_band).cast("int")
-                     .alias("cell")))).alias("bd")) \
-        .select("doc_id", "source", "wset",
+    banded = docs.select(
+        "doc_id", "source", F.length("text").alias("n")) \
+        .select(
+            "doc_id", "source",
+            F.explode(F.array(
+                F.struct(F.lit(0).alias("grid"),
+                         (F.col("n") / length_band).cast("int")
+                         .alias("cell")),
+                F.struct(F.lit(1).alias("grid"),
+                         ((F.col("n") + half) / length_band).cast("int")
+                         .alias("cell")))).alias("bd")) \
+        .select("doc_id", "source",
                 F.col("bd.grid").alias("grid"), F.col("bd.cell").alias("cell"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.source") == F.col("b.source")) &
-                    (F.col("a.grid") == F.col("b.grid")) &
-                    (F.col("a.cell") == F.col("b.cell")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.wset").alias("wset_a"),
-                     F.col("b.wset").alias("wset_b"))
-             .dropDuplicates(["doc_a", "doc_b"]))
+    cand = (a.join(b, (F.col("a.source") == F.col("b.source")) &
+                   (F.col("a.grid") == F.col("b.grid")) &
+                   (F.col("a.cell") == F.col("b.cell")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    wsets = docs.select("doc_id", F.array_distinct(_words()).alias("wset"))
+    pairs = (cand
+             .join(wsets.select(F.col("doc_id").alias("doc_a"),
+                                F.col("wset").alias("wset_a")), "doc_a")
+             .join(wsets.select(F.col("doc_id").alias("doc_b"),
+                                F.col("wset").alias("wset_b")), "doc_b"))
     inter = F.size(F.array_intersect("wset_a", "wset_b")).cast("double")
     union = (F.size("wset_a") + F.size("wset_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -268,22 +293,21 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     invocation (monotonic counter): the returned DataFrame reads the
     parquet lazily, so a shared default name would let a second call
     overwrite the signatures under an earlier, not-yet-collected
-    result. Callers who want overwrite/reuse semantics (and own the
-    lifetime) pass io + sig_table explicitly.
+    result. The per-process scratch dir holding those default tables is
+    removed at interpreter exit (atexit) — results are lazily bound to
+    the parquet, so their lifetime is at most the process's, and the
+    disk cost is bounded by the process, not left behind forever.
+    Within one long-lived process, repeated default-io calls still
+    accumulate one signature copy each until exit; callers looping over
+    corpora should pass io + sig_table explicitly and own the
+    overwrite/reuse lifecycle.
     """
     rows_per_band = num_hashes // bands
     if sig_table is None:
         sig_table = f"minhash_sigs_{next(_SIG_SEQ)}"
     if io is None:
-        import os
-        import tempfile
-
         from .tableio import TableIO
-        # one per-process scratch dir (bounded: one subdir per
-        # invocation, cleared with the process tempdir)
-        scratch = os.path.join(tempfile.gettempdir(),
-                               f"tstoken_sigs_{os.getpid()}")
-        io = TableIO(docs.sparkSession, scratch)
+        io = TableIO(docs.sparkSession, _default_sig_scratch())
     io.overwrite(sig_table, minhash_signatures(docs, num_hashes),
                  partition_by=())
     sigs = io.read(sig_table)

@@ -123,13 +123,58 @@ class TestMultimodal:
         assert feats["feature"].map(len).eq(FEATURE_DIM).all()
         sums = feats["feature"].map(lambda v: float(np.sum(v)))
         assert np.allclose(sums, 1.0, atol=1e-5)
+        # every synth payload is a REAL decodable format now
+        assert feats["decoded"].all()
 
-    def test_stubs_marked(self):
-        from tstoken.multimodal import decode_image, sample_video_frames
+    def test_image_roundtrip_and_resize(self):
+        from tstoken.multimodal import decode_image, encode_ppm, resize_image
+        img = (np.arange(10 * 14 * 3) % 256).astype(np.uint8) \
+            .reshape(10, 14, 3)
+        assert (decode_image(encode_ppm(img)) == img).all()
+        assert resize_image(encode_ppm(img), 5, 4).shape == (4, 5, 3)
+
+    def test_wav_roundtrip(self):
+        from tstoken.multimodal import decode_audio, encode_wav
+        x = np.sin(np.arange(1600) / 8000 * 2 * np.pi * 440)
+        rate, y = decode_audio(encode_wav(x, rate=8000))
+        assert rate == 8000 and len(y) == 1600
+        assert np.abs(y - x).max() < 1e-3
+
+    def test_video_sampling(self):
+        from tstoken.multimodal import encode_video, sample_video_frames
+        img = np.zeros((6, 8, 3), dtype=np.uint8)
+        frames = [img, img + 1, img + 2, img + 3]
+        got = sample_video_frames(encode_video(frames, fps=2),
+                                  every_ms=1000)  # step 2 -> frames 0, 2
+        assert len(got) == 2 and got[1][0, 0, 0] == 2
+
+    def test_malformed_headers_rejected(self):
+        from tstoken.multimodal import decode_image
+        # negative dims must not "decode" into garbage via frombuffer's
+        # read-everything on negative count + reshape(-1) inference
+        with pytest.raises(ValueError):
+            decode_image(b"P6\n-1 5\n255\n" + b"\x00" * 15)
+        with pytest.raises(ValueError):
+            decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated
+
+    def test_codec_stubs_marked(self):
+        from tstoken.multimodal import (decode_audio, decode_image,
+                                        sample_video_frames)
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8")
+            decode_image(b"\xff\xd8\xff")             # JPEG
         with pytest.raises(NotImplementedError):
-            sample_video_frames(b"")
+            decode_audio(b"ID3\x03tag")               # MP3
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(b"\x00\x00\x00 ftypmp42")  # MP4
+
+    def test_undecodable_falls_back_visibly(self, spark):
+        from tstoken.multimodal import MEDIA_SCHEMA, extract_features
+        media = spark.createDataFrame(
+            [("m-bad", "image", bytearray(b"not an image"), 1, 1, 0)],
+            MEDIA_SCHEMA)
+        out = extract_features(media).toPandas()
+        assert not out["decoded"].iloc[0]
+        assert len(out["feature"].iloc[0]) == 32
 
 
 class TestTextOps:

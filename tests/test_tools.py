@@ -82,3 +82,33 @@ class TestScalingVerdicts:
         assert out["raw_pass_8_to_32"] is False
         assert out["normalized_pass_8_to_32"] is True
         assert out["pass_8_to_32"] is True
+
+
+class TestRenderRobustness:
+    def _summary_one_pair(self):
+        lv32 = {"cpus": 32, "rows": 100, "walls": [2.0], "wall_sec": 2.0,
+                "points_per_sec": 50.0, "raw_rows_per_sec": 50.0}
+        lv8 = {"cpus": 8, "rows": 100, "walls": [6.0], "wall_sec": 6.0,
+               "points_per_sec": 16.7, "raw_rows_per_sec": 16.7}
+        return {"rows": 100, "merged_runs": 1, "iters_per_level": 1,
+                "levels": {"local[8]": lv8, "local[32]": lv32},
+                "calibration_runs": [{"2": 100, "8": 400, "32": 1600}],
+                "cpu_calibration_units": {"2": 100, "8": 400, "32": 1600}}
+
+    def test_partial_levels_render_without_keyerror(self):
+        # a --levels 8,32 run has no 2->8 pair; render must not crash
+        # (the old f-string KeyError'd AFTER truncating BASELINE.md)
+        import scaling
+        s = scaling.recompute_verdicts(self._summary_one_pair())
+        md = scaling.render_md(s)
+        assert "n/a (level not measured)" in md
+        assert "local[8] -> local[32]" in md
+
+    def test_verdict_context_tracks_passes(self):
+        import scaling
+        s = scaling.recompute_verdicts(self._summary_one_pair())
+        # raw eff 8->32 = 6/(4*2) = 0.75, ceiling 1.0 -> FAIL branch
+        md = scaling.render_md(s)
+        assert "the table says FAIL" in md
+        s["pass_2_to_8"] = s["pass_8_to_32"] = True
+        assert "Both N->4N pairs meet the criterion" in scaling.render_md(s)
