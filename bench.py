@@ -53,10 +53,19 @@ def main() -> dict:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    # min of N runs per query: single-shot timings on this shared VM
+    # swing 2-5x with host contention (round-2's recorded +33% on
+    # ev_optimal_window vanished on re-measure); each run rebuilds its
+    # plan from a fresh spark.read, so nothing is reused but the JIT
+    # profile and OS page cache — which IS steady state
+    q_iters = int(os.environ.get("TSTOKEN_BENCH_QUERY_ITERS", "2"))
     for name in HEADLINE:
-        t0 = time.time()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(q_iters):
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # token-engine pipeline (the north-rule metric): measured over a
     # STAGED parquet table (the stored-table read path — the 10^12-row
@@ -95,11 +104,28 @@ def main() -> dict:
     # compilation (tens of seconds in this VM — pure noise against a
     # 10^12-row cluster job, see BENCH/BASELINE.md); min of the later
     # runs approaches steady-state engine throughput.
+    # adaptive iteration count (round-2 lesson: 3 iterations in a
+    # contended window recorded 30.8 s where the pooled quiet-window
+    # min was 15.6 s): run at least TSTOKEN_BENCH_ITERS, keep going
+    # while the post-first min is still improving >2% over the last
+    # two iterations, capped by count and a wall-clock budget
+    min_iters = int(os.environ.get("TSTOKEN_BENCH_ITERS", "4"))
+    max_iters = int(os.environ.get("TSTOKEN_BENCH_MAX_ITERS", "10"))
+    budget = float(os.environ.get("TSTOKEN_BENCH_BUDGET_SEC", "300"))
     walls = []
-    for _ in range(int(os.environ.get("TSTOKEN_BENCH_ITERS", "3"))):
+    loop_t0 = time.time()
+    while True:
         t0 = time.time()
         rolled_points = tok_pipeline()
         walls.append(time.time() - t0)
+        n = len(walls)
+        if n >= max_iters or (n >= min_iters
+                              and time.time() - loop_t0 > budget):
+            break
+        if n >= min_iters:
+            best = min(walls[1:])
+            if best >= 0.98 * min(walls[1:-2] or walls[1:]):
+                break
     tok_wall = min(walls[1:]) if len(walls) > 1 else walls[0]
     timings["tok_pipeline"] = round(tok_wall, 3)
     timings["tok_pipeline_cold"] = round(walls[0], 3)

@@ -16,10 +16,11 @@ clients actually observe 500 with a detail string of "400: ..."
 a fix, not parity; callers asserting the reference's observed 500s
 must adjust.
 
-The plot-builder endpoints return base64 PNGs in the reference;
-without matplotlib the closest honest parity is the data-half
-endpoints (`decomposition_results`, `monthwise_stats`), which return
-the frames those plots draw.
+The nine plot-builder endpoints return base64 PNGs like the
+reference's — rendered by the dependency-free tstoken.plots/plotting
+rasterizer instead of matplotlib — alongside the data-half endpoints
+(`decomposition_results`, `monthwise_stats`) that return the frames
+those plots draw.
 """
 
 from __future__ import annotations
@@ -130,12 +131,53 @@ def monthwise_stats(data: list[list], columns: list[str]) -> dict:
         raise ApiError(500, str(e))
 
 
+def _plot_endpoint(builder):
+    """Reference `generate_plot_response` (`api_diagnostics.py:41-57`):
+    run the builder, return `{"plot_image": <base64 PNG>}`, any failure
+    becomes a 500 with the exception text. Our builders return data
+    URIs; the endpoint strips the prefix so the payload matches the
+    reference's raw-base64 OutputModel. A builder that declines to
+    plot (returns None — e.g. seasonal gates not met) is a 500 like
+    any other failure in the reference's catch-all."""
+
+    def handler(data: list[list], columns: list[str]) -> dict:
+        try:
+            df = _frame(data, columns)
+            uri = builder(df)
+            if uri is None:
+                raise ValueError("no plot could be generated for this "
+                                 "input (frequency/length gate not met)")
+            return {"plot_image": uri.split(",", 1)[1]}
+        except ApiError:
+            raise
+        except Exception as e:
+            raise ApiError(500, str(e))
+
+    handler.__name__ = builder.__name__
+    return handler
+
+
+def _plot_handlers() -> dict:
+    """The reference's nine plot endpoints (`api_diagnostics.py:
+    60-128`), rendered for real by tstoken.plots."""
+    from . import plots as P
+    return {f"/{name}": _plot_endpoint(getattr(P, name))
+            for name in (
+                "build_iqr_plot", "build_seasonal_plot_classic",
+                "build_seasonal_plot_stl", "build_seasonal_plot_mstl",
+                "build_outliers_plot_classic",
+                "build_outliers_plot_mstl", "build_outliers_plot_stl",
+                "build_outliers_plot_esd",
+                "build_outliers_plot_moving_average")}
+
+
 HANDLERS = {
     "/find_outliers": find_outliers,
     "/detect_outliers_stl": detect_outliers_stl,
     "/detect_outliers_today_classic": detect_outliers_today_classic,
     "/decomposition_results": decomposition_results,
     "/monthwise_stats": monthwise_stats,
+    **_plot_handlers(),
 }
 
 

@@ -115,10 +115,12 @@ def analyze_upload(file, upload_folder: str,
         plot_data = None
         if method == "comprehensive":
             flagged = compat.detect_outliers_classic(df)
-            # data half of build_iqr_plot (no matplotlib): how many
-            # rows the IQR fences flag
+            # a REAL rendered box plot (tstoken.plots rasterizer) plus
+            # the flag count the old data-half reply carried
+            from .plots import build_iqr_plot
             iqr_rows = compat.detect_outliers_iqr(df)
             plot_data = {"kind": "iqr",
+                         "image": build_iqr_plot(df),
                          "n_flagged": int(len(iqr_rows))
                          if isinstance(iqr_rows, pd.DataFrame) else 0}
         elif method == "stl":

@@ -62,6 +62,9 @@ class TestWebapp:
         summary = data["data"]["summary"]
         assert summary["total_rows"] == 3
         assert summary["columns_analyzed"] == ["col1", "col2"]
+        plot = data["data"]["plot"]
+        if plot is not None:  # comprehensive path renders a real PNG
+            assert plot["image"].startswith("data:image/png;base64,")
 
     def test_file_saved(self, client, sample_csv_file, app):
         from pathlib import Path
@@ -212,3 +215,31 @@ class TestApiHandlers:
         from tstoken.api import create_fastapi_app
         with pytest.raises(ImportError):
             create_fastapi_app()
+
+    def test_all_nine_plot_endpoints_registered(self):
+        from tstoken.api import HANDLERS
+        plot_paths = {p for p in HANDLERS if "plot" in p}
+        assert plot_paths == {
+            "/build_iqr_plot", "/build_seasonal_plot_classic",
+            "/build_seasonal_plot_stl", "/build_seasonal_plot_mstl",
+            "/build_outliers_plot_classic", "/build_outliers_plot_mstl",
+            "/build_outliers_plot_stl", "/build_outliers_plot_esd",
+            "/build_outliers_plot_moving_average"}
+
+    def test_iqr_plot_endpoint_returns_png(self):
+        import base64
+
+        from tstoken.api import HANDLERS
+        data, cols = self._payload(n=60, spike_at=30)
+        out = HANDLERS["/build_iqr_plot"](data, cols)
+        raw = base64.b64decode(out["plot_image"])
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_gated_plot_endpoint_is_500(self):
+        # 40 daily rows < the 730 gate -> builder returns None ->
+        # the endpoint 500s like the reference's catch-all
+        from tstoken.api import ApiError, HANDLERS
+        data, cols = self._payload(n=40)
+        with pytest.raises(ApiError) as ei:
+            HANDLERS["/build_seasonal_plot_classic"](data, cols)
+        assert ei.value.status_code == 500
