@@ -9,9 +9,9 @@ is deliberately NOT a structural copy: the flow is plain functions
 our own small HTML generator with its own styling, and two behavior
 deviations are documented:
 
-  - no matplotlib in this sandbox → the 'comprehensive' method returns
-    `plot: None` plus the IQR plot's DATA (flag count) instead of a
-    base64 PNG;
+  - the 'comprehensive' method returns a REAL rendered box plot (a
+    base64 PNG data URI from tstoken.plots — drawn by our own
+    rasterizer, not matplotlib) plus the IQR flag count;
   - no bundled HTML templates → `/` serves a minimal inline upload
     form and `/upload` always answers JSON (the reference does the
     same for AJAX/TESTING requests, which is what its test suite
