@@ -390,8 +390,12 @@ def main():
                 with open(prev_path) as f:
                     prev = json.load(f)
                 prev_stamp = prev.get("code_stamp")
-                if prev_stamp is not None and \
-                        prev_stamp.get("stage_checksum") != \
+                # checksum gate applies only when pooling would occur:
+                # a prior run at DIFFERENT rows never pools, so a
+                # mismatch there must not abort and discard the fresh
+                # campaign (it just means no merge happens)
+                if prev.get("rows") == rows and prev_stamp is not None \
+                        and prev_stamp.get("stage_checksum") != \
                         stamp["stage_checksum"]:
                     # refuse LOUDLY and write NOTHING: silently dropping
                     # the prior levels would overwrite scaling.json with

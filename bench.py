@@ -122,7 +122,7 @@ def main() -> dict:
         if n >= max_iters or (n >= min_iters
                               and time.time() - loop_t0 > budget):
             break
-        if n >= min_iters:
+        if n >= min_iters and n >= 2:  # n==1: walls[1:] is empty
             best = min(walls[1:])
             if best >= 0.98 * min(walls[1:-2] or walls[1:]):
                 break

@@ -122,9 +122,14 @@ def _gray(img: np.ndarray) -> np.ndarray:
     return img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
 
 
-def image_feature(payload: bytes) -> np.ndarray:
-    """32-dim: 4x4 grid of mean intensities + 16-bin gray histogram."""
-    g = _gray(decode_image(payload))
+def image_feature(payload: bytes | np.ndarray) -> np.ndarray:
+    """32-dim: 4x4 grid of mean intensities + 16-bin gray histogram.
+
+    Accepts raw PPM/PGM bytes or an already-decoded array — the video
+    path feeds decoded frames directly (no per-frame re-encode)."""
+    img = decode_image(payload) if isinstance(
+        payload, (bytes, bytearray)) else np.asarray(payload)
+    g = _gray(img)
     grid = resize_image(g.astype(np.uint8), 4, 4).astype(np.float64) / 255.0
     hist = np.histogram(g, bins=16, range=(0, 256))[0].astype(np.float64)
     hist /= max(hist.sum(), 1.0)
@@ -225,7 +230,7 @@ def video_feature(payload: bytes) -> np.ndarray:
     frames = sample_video_frames(payload, every_ms=1000)
     if not frames:
         return np.zeros(FEATURE_DIM)
-    return np.mean([image_feature(encode_ppm(f)) for f in frames], axis=0)
+    return np.mean([image_feature(f) for f in frames], axis=0)
 
 
 # ----------------------------------------------------- feature extract

@@ -201,23 +201,12 @@ def build_monthwise_plot(df) -> str:
 
 # --------------------------------------------- classical decomposition
 
-_CLASSIC_PERIODS = {"H": (17520, 24), "D": (730, 365), "B": (520, 365),
-                    "MS": (24, 12), "M": (24, 12), "Q": (8, 4),
-                    "A": (2, 1)}
-
-
-def _detected_period(index: pd.DatetimeIndex) -> int | None:
-    """The reference's freq/length gate table (diagnostics.py:99-141),
-    shared by the classic and STL plot dispatchers."""
-    freq = index.inferred_freq
-    n = len(index)
-    base = compat._freq_base(freq)
-    gate = _CLASSIC_PERIODS.get(base or "")
-    if gate and n >= gate[0]:
-        return gate[1]
-    if compat._is_weekly(freq) and n >= 104:
-        return 52
-    return None
+def _detected_period(df_ts: pd.DataFrame) -> int | None:
+    """The reference's freq/length gate table (diagnostics.py:99-141)
+    — the SAME table the headless detectors use
+    (compat.detect_ts_frequency / _STL_GATES), not a private copy, so
+    a gate tweak can never desynchronize plots from API flags."""
+    return compat.detect_ts_frequency(df_ts)
 
 
 def build_seasonal_plot_classic(df) -> str | None:
@@ -228,7 +217,7 @@ def build_seasonal_plot_classic(df) -> str | None:
     if not df_ts.index.is_unique:
         raise compat.DataValidationError(
             "Duplicate date index values. Check your data.")
-    period = _detected_period(df_ts.index)
+    period = _detected_period(df_ts)
     if period is None:
         return None
     return generate_seasonal_plot_classic(df_ts, period)
@@ -290,7 +279,7 @@ def build_outliers_plot_stl(df) -> str:
     if not df_ts.index.is_unique:
         raise compat.DataValidationError(
             "Duplicate date index values. Check your data.")
-    period = _detected_period(df_ts.index)
+    period = _detected_period(df_ts)
     if period is None:
         return build_iqr_plot(df_ts.reset_index())
     return generate_outlier_plot_stl(df_ts, period)
@@ -310,7 +299,7 @@ def build_seasonal_plot_stl(df) -> str | None:
     """STL seasonal panels with the period gate
     (diagnostics.py:647-726); None when no period is detectable."""
     df_ts = _prep(df)
-    period = _detected_period(df_ts.index)
+    period = _detected_period(df_ts)
     if period is None:
         return None
     return generate_seasonal_plot_stl(df_ts, period)

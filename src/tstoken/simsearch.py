@@ -64,10 +64,22 @@ def infer_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
     bucket, and the 'prefiltered' join silently degenerates to
     all-pairs — the exact quadratic plan the prefilter exists to avoid.
     """
-    row = emb.select(F.size(vec_col).alias("d")).first()
+    row = emb.where(F.col(vec_col).isNotNull()) \
+             .select(F.size(vec_col).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer dim from empty {vec_col!r}")
     return int(row["d"])
+
+
+def _infer_dim_or_none(emb: DataFrame,
+                       vec_col: str = "embedding") -> int | None:
+    """infer_dim, but None for an empty / all-null corpus — callers
+    that can define an empty RESULT (no vectors → no pairs) use this
+    instead of surfacing a plan-build crash."""
+    try:
+        return infer_dim(emb, vec_col)
+    except ValueError:
+        return None
 
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
@@ -104,7 +116,16 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                    F.col("embedding").alias("vb"))
     if prefilter_planes > 0:
         if dim is None:
-            dim = infer_dim(emb)
+            dim = _infer_dim_or_none(emb)
+            if dim is None:
+                # empty / all-null corpus: no pairs by definition —
+                # an empty result with the output schema, not a
+                # plan-build ValueError (the exact path returns the
+                # same for this input)
+                return (a.join(b, F.col("id_a") < F.col("id_b"))
+                        .where(F.lit(False))
+                        .select("id_a", "id_b",
+                                F.lit(0.0).alias("cosine")))
         # one signature-array projection per side, single equi-join on
         # (tbl, sig) — not a union of per-table joins (one scan/side)
         sa = _multi_table_sigs(a, "va", ["id_a"], dim,

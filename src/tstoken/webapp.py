@@ -86,8 +86,13 @@ def render_flag_table(flags: pd.DataFrame) -> str:
 
 
 def extension_allowed(filename: str, allowed: set[str] | list[str]) -> bool:
-    suffix = Path(filename).suffix.lower().lstrip(".")
-    return bool(suffix) and suffix in {e.lower() for e in allowed}
+    # rsplit, not Path().suffix: the reference's is_allowed_file
+    # accepts dot-leading names like '.csv' (suffix would call that a
+    # hidden file with no extension and reject it — a parity break)
+    if "." not in filename:
+        return False
+    ext = filename.rsplit(".", 1)[1].lower()
+    return bool(ext) and ext in {e.lower() for e in allowed}
 
 
 def _summary(df: pd.DataFrame, n_out: int) -> dict[str, Any]:

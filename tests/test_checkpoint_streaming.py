@@ -126,6 +126,18 @@ class TestMultimodal:
         # every synth payload is a REAL decodable format now
         assert feats["decoded"].all()
 
+    def test_image_feature_accepts_decoded_array(self):
+        # review fix: the video path feeds decoded frames directly,
+        # skipping the per-frame encode/decode round-trip — both entry
+        # forms must produce the identical feature
+        from tstoken.multimodal import (decode_image, encode_ppm,
+                                        image_feature)
+        img = (np.arange(8 * 12 * 3) % 251).astype(np.uint8) \
+            .reshape(8, 12, 3)
+        blob = encode_ppm(img)
+        np.testing.assert_allclose(image_feature(blob),
+                                   image_feature(decode_image(blob)))
+
     def test_image_roundtrip_and_resize(self):
         from tstoken.multimodal import decode_image, encode_ppm, resize_image
         img = (np.arange(10 * 14 * 3) % 256).astype(np.uint8) \

@@ -169,6 +169,24 @@ class TestNeardupDefaults:
         assert ("BroadcastNestedLoopJoin" in plan
                 or "CartesianProduct" in plan)
 
+    def test_empty_corpus_returns_empty_not_crash(self, spark):
+        # review fix: the default prefilter path used to raise
+        # ValueError at plan-build on an empty/all-null corpus where
+        # the old exact default returned an empty frame
+        from tstoken.simsearch import cosine_neardup_pairs
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        out = cosine_neardup_pairs(empty, threshold=0.5)
+        assert out.count() == 0
+        assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+    def test_null_first_row_does_not_break_dim_inference(self, spark):
+        from tstoken.simsearch import infer_dim
+        emb = spark.createDataFrame(
+            [(0, None), (1, [0.1, 0.2, 0.3])],
+            "vec_id long, embedding array<double>")
+        assert infer_dim(emb) == 3
+
     def test_dim_inference_matches_explicit(self, spark):
         from tstoken.simsearch import cosine_neardup_pairs, infer_dim
         rng = np.random.default_rng(9)

@@ -44,6 +44,15 @@ class TestWebapp:
         assert data["success"] is False
         assert data["message"] == "No file selected"
 
+    def test_dot_leading_filename_accepted(self):
+        # review fix: Path('.csv').suffix is '' (hidden-file rule) but
+        # the reference's rsplit-based is_allowed_file accepts '.csv'
+        from tstoken.webapp import extension_allowed
+        assert extension_allowed(".csv", {"csv"})
+        assert extension_allowed("data.CSV", {"csv"})
+        assert not extension_allowed("csv", {"csv"})
+        assert not extension_allowed("data.txt", {"csv"})
+
     def test_upload_invalid_file(self, client, tmp_path):
         p = tmp_path / "sample.txt"
         p.write_text("not a csv")
