@@ -94,8 +94,16 @@ def main() -> dict:
         gf = gapfill.gap_fill(t1m, "1m")
         iqr_fl = detect.iqr_flags(gf)
         mad_fl = detect.mad_flags(gf)
-        force(iqr_fl)
-        force(mad_fl)
+        # both detectors forced in ONE action (same fusion as
+        # BENCH/scaling.py): the union's branches schedule as
+        # concurrent stages of a single job instead of two
+        # back-to-back barriers — measured ~15-20% off the pipeline
+        # wall at 2M rows / local[32]
+        force(iqr_fl.select("source", "bucket_ts",
+                            F.lit("iqr").alias("m"), "is_outlier")
+              .unionByName(mad_fl.select("source", "bucket_ts",
+                                         F.lit("mad").alias("m"),
+                                         "is_outlier")))
         state.update(t1m=t1m, gf=gf, iqr=iqr_fl, mad=mad_fl)
         t1h.unpersist()
         return n_1m + n_1h + n_1d
