@@ -131,22 +131,38 @@ def monthwise_stats(data: list[list], columns: list[str]) -> dict:
         raise ApiError(500, str(e))
 
 
+def _blank_figure_b64() -> str:
+    """Base64 of an empty white figure — what the reference's
+    `generate_plot_response` actually serializes when a builder
+    declines to plot: it calls `plt.savefig` unconditionally
+    (`api_diagnostics.py:45-48`), so a gated builder that returned
+    None still yields 200 + an empty/stale canvas (its own test suite
+    posts a 7-row series to the seasonal endpoints and asserts 200).
+    We reproduce the observable contract (200, decodable PNG, no data
+    drawn) without the stale-figure leak between requests."""
+    import base64
+
+    from .plotting import Canvas, png_encode
+    return base64.b64encode(png_encode(Canvas(640, 480).a)) \
+        .decode("ascii")
+
+
 def _plot_endpoint(builder):
     """Reference `generate_plot_response` (`api_diagnostics.py:41-57`):
     run the builder, return `{"plot_image": <base64 PNG>}`, any failure
     becomes a 500 with the exception text. Our builders return data
     URIs; the endpoint strips the prefix so the payload matches the
     reference's raw-base64 OutputModel. A builder that declines to
-    plot (returns None — e.g. seasonal gates not met) is a 500 like
-    any other failure in the reference's catch-all."""
+    plot (returns None — seasonal gates not met) returns an empty
+    figure with 200, matching the reference's observed behavior (see
+    _blank_figure_b64)."""
 
     def handler(data: list[list], columns: list[str]) -> dict:
         try:
             df = _frame(data, columns)
             uri = builder(df)
             if uri is None:
-                raise ValueError("no plot could be generated for this "
-                                 "input (frequency/length gate not met)")
+                return {"plot_image": _blank_figure_b64()}
             return {"plot_image": uri.split(",", 1)[1]}
         except ApiError:
             raise
