@@ -287,12 +287,15 @@ captures; the verdict column applies the >= 0.8 criterion to it.
   (32 MB) so every level runs >= 3-4 task waves — at 6M rows the
   default 128 MB splits left local[32] a single ragged wave and cost
   ~38% of its wall (round-3 fix, measured 47 s -> 29 s).
-- Residual high-pair shortfall beyond the ceiling is fixed per-JOB
-  cost (driver plan analysis, stage barriers) that is constant in
-  thread count and double-digit percent of a sub-minute proxy wall;
-  at the 10^12-row design point the same seconds are noise. Growing
-  the input from 2M to 6M rows moved the low pair from raw 0.79 to
-  0.94 (BENCH/scaling_6m.json), the predicted amortization.
+- Residual high-pair raw shortfall is fixed per-JOB cost (driver plan
+  analysis, stage barriers) that is constant in thread count and
+  double-digit percent of a sub-minute proxy wall; at the 10^12-row
+  design point the same seconds are noise. The input-size trend
+  DEMONSTRATES the amortization: 8->32 raw efficiency measured 0.65
+  at 2M rows, 0.77 at 6M, and **1.06 at 12M rows** (same-run pair,
+  walls 285.3 s -> 67.4 s, BENCH/scaling_12m.json) — once the input
+  is large enough to amortize fixed costs the engine scales at or
+  above linear on this pair.
 
 Both pairs are reported for honesty about the proxy's limits: all
 threads of a `local[k]` master share ONE memory subsystem and ONE JVM
@@ -390,11 +393,23 @@ def main():
                 with open(prev_path) as f:
                     prev = json.load(f)
                 prev_stamp = prev.get("code_stamp")
-                # checksum gate applies only when pooling would occur:
-                # a prior run at DIFFERENT rows never pools, so a
-                # mismatch there must not abort and discard the fresh
-                # campaign (it just means no merge happens)
-                if prev.get("rows") == rows and prev_stamp is not None \
+                if prev.get("rows") != rows:
+                    # a different-rows prior can never pool; falling
+                    # through would OVERWRITE scaling.json with a
+                    # fresh (possibly partial-levels) summary and
+                    # destroy the pooled evidence. Refuse: start a new
+                    # headline with a plain run (no --merge), or write
+                    # auxiliary evidence via --out.
+                    print(json.dumps({
+                        "merge_refused": "rows mismatch — prior "
+                        f"campaign is {prev.get('rows')} rows; rerun "
+                        "without --merge to start a new headline, or "
+                        "use --out for auxiliary evidence",
+                        "fresh_levels": {f"local[{c}]": r
+                                         for c, r in res.items()}},
+                        ), flush=True)
+                    sys.exit(3)
+                if prev_stamp is not None \
                         and prev_stamp.get("stage_checksum") != \
                         stamp["stage_checksum"]:
                     # refuse LOUDLY and write NOTHING: silently dropping

@@ -130,6 +130,10 @@ def main() -> dict:
         if n >= max_iters or (n >= min_iters
                               and time.time() - loop_t0 > budget):
             break
+        # plateau rule needs >= 4 walls (a 2-wall comparison window
+        # beyond warmup+current); below that, min_iters behaves as a
+        # plain fixed count — TSTOKEN_BENCH_ITERS<=3 is the explicit
+        # "quick fixed run" mode, adaptivity starts at the default 4
         if n >= min_iters and n >= 2:  # n==1: walls[1:] is empty
             best = min(walls[1:])
             if best >= 0.98 * min(walls[1:-2] or walls[1:]):

@@ -25,6 +25,7 @@ those plots draw.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import pandas as pd
@@ -131,6 +132,7 @@ def monthwise_stats(data: list[list], columns: list[str]) -> dict:
         raise ApiError(500, str(e))
 
 
+@functools.lru_cache(maxsize=1)
 def _blank_figure_b64() -> str:
     """Base64 of an empty white figure — what the reference's
     `generate_plot_response` actually serializes when a builder

@@ -64,7 +64,8 @@ def infer_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
     bucket, and the 'prefiltered' join silently degenerates to
     all-pairs — the exact quadratic plan the prefilter exists to avoid.
     """
-    row = emb.where(F.col(vec_col).isNotNull()) \
+    row = emb.where(F.col(vec_col).isNotNull()
+                    & (F.size(vec_col) > 0)) \
              .select(F.size(vec_col).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer dim from empty {vec_col!r}")
@@ -73,9 +74,12 @@ def infer_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
 
 def _infer_dim_or_none(emb: DataFrame,
                        vec_col: str = "embedding") -> int | None:
-    """infer_dim, but None for an empty / all-null corpus — callers
-    that can define an empty RESULT (no vectors → no pairs) use this
-    instead of surfacing a plan-build crash."""
+    """infer_dim, but None for a corpus with no non-empty vectors —
+    callers that can define an empty RESULT (no usable vectors → no
+    pairs above any threshold; zero-length vectors have no cosine)
+    use this instead of surfacing a plan-build crash. A corpus with
+    even ONE non-empty vector infers from it (the isNotNull/size>0
+    filter skips degenerate rows rather than tripping over them)."""
     try:
         return infer_dim(emb, vec_col)
     except ValueError:

@@ -187,6 +187,18 @@ class TestNeardupDefaults:
             "vec_id long, embedding array<double>")
         assert infer_dim(emb) == 3
 
+    def test_empty_array_first_row_still_finds_pairs(self, spark):
+        # review fix round 2: a zero-LENGTH (not null) first embedding
+        # made _infer_dim_or_none return None and silently drop every
+        # genuine pair in the rest of the corpus
+        from tstoken.simsearch import cosine_neardup_pairs, infer_dim
+        emb = spark.createDataFrame(
+            [(0, []), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        assert infer_dim(emb) == 2
+        out = cosine_neardup_pairs(emb, threshold=0.5).toPandas()
+        assert {(r.id_a, r.id_b) for r in out.itertuples()} == {(1, 2)}
+
     def test_dim_inference_matches_explicit(self, spark):
         from tstoken.simsearch import cosine_neardup_pairs, infer_dim
         rng = np.random.default_rng(9)
