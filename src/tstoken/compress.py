@@ -78,8 +78,11 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     w.write(int(ts[0]) & ((1 << 64) - 1), 64)
     if n == 1:
         return w.getvalue()
+    # 64-bit first delta: epoch-second gaps can exceed 2^31 (a >68-year
+    # gap is degenerate data but must round-trip, not wrap — found by
+    # the hypothesis codec property). +4 bytes on a 4096-point block.
     first_delta = int(ts[1] - ts[0])
-    w.write(first_delta & ((1 << 32) - 1), 32)
+    w.write(first_delta & ((1 << 64) - 1), 64)
     deltas = np.diff(ts)
     dods = np.diff(deltas)
     for d in dods:
@@ -95,9 +98,15 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         elif -2047 <= d <= 2048:
             w.write(0b1110, 4)
             w.write(d + 2047, 12)
-        else:
+        elif -(1 << 31) <= d < (1 << 31):
             w.write(0b1111, 4)
+            w.write(0, 1)
             w.write(d & ((1 << 32) - 1), 32)
+        else:
+            # 64-bit escape for delta-of-deltas past the 32-bit tier
+            w.write(0b1111, 4)
+            w.write(1, 1)
+            w.write(d & ((1 << 64) - 1), 64)
     return w.getvalue()
 
 
@@ -113,9 +122,9 @@ def decode_timestamps(block: bytes) -> np.ndarray:
     out[0] = t0
     if n == 1:
         return out
-    delta = r.read(32)
-    if delta >= 1 << 31:
-        delta -= 1 << 32
+    delta = r.read(64)
+    if delta >= 1 << 63:
+        delta -= 1 << 64
     out[1] = out[0] + delta
     for i in range(2, n):
         tag = r.read(1)
@@ -133,10 +142,14 @@ def decode_timestamps(block: bytes) -> np.ndarray:
                     tag4 = r.read(1)
                     if tag4 == 0:
                         dod = r.read(12) - 2047
-                    else:
+                    elif r.read(1) == 0:
                         dod = r.read(32)
                         if dod >= 1 << 31:
                             dod -= 1 << 32
+                    else:
+                        dod = r.read(64)
+                        if dod >= 1 << 63:
+                            dod -= 1 << 64
         delta += dod
         out[i] = out[i - 1] + delta
     return out
