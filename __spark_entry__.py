@@ -236,6 +236,31 @@ def _doc_simhash(spark, sf_dir) -> DataFrame:
     return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def _doc_minhash_md5(spark, sf_dir) -> DataFrame:
+    """Exact-oracle variant of the full minhash-LSH pipeline: the same
+    signature family / banding / estimate-prefilter / exact-jaccard
+    code path, but with the cross-engine md5 base hash and raw
+    slot-array band keys (textops.minhash_dup_pairs hash_family="md5")
+    so DuckDB reproduces every stage bit-for-bit. The xxhash64
+    production query above stays rows-only."""
+    from tstoken.textops import minhash_dup_pairs
+    return minhash_dup_pairs(_t(spark, sf_dir, "documents"),
+                             threshold=0.5, hash_family="md5")
+
+
+def _doc_simhash_md5(spark, sf_dir) -> DataFrame:
+    """The exact-oracle variant of the simhash pipeline: identical
+    vote/banding code over the cross-engine md5-derived 60-bit word
+    hash (textops.simhash_md5). The DuckDB oracle computes the same
+    simhashes and then EXACT all-pairs hamming — so this query
+    end-to-end verifies both the simhash computation and the
+    pigeonhole banding's completeness (banded result == exact result
+    iff no pair within the bound is dropped)."""
+    from tstoken.textops import simhash_md5, simhash_pairs_from_sigs
+    return simhash_pairs_from_sigs(
+        simhash_md5(_t(spark, sf_dir, "documents")), max_hamming=3)
+
+
 def _emb_queries(spark, sf_dir) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
@@ -525,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_pairs": _doc_minhash,
         "doc_simhash_pairs": _doc_simhash,
+        "doc_simhash_md5_pairs": _doc_simhash_md5,
+        "doc_minhash_md5_pairs": _doc_minhash_md5,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
@@ -764,6 +791,85 @@ SELECT doc_id, lang,
 FROM h"""
 
     fp = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+    # simhash over the cross-engine md5-derived 60-bit word hash
+    # (textops.simhash_md5). The oracle computes the same per-doc
+    # simhash (votes over bits, tie -> 0) and then EXACT all-pairs
+    # hamming — the engine's banded path must return the identical
+    # pair set or its pigeonhole blocking dropped a pair. Zero-word
+    # docs keep simhash 0 via the LEFT JOIN (engine: explode_outer).
+    simhash_md5 = f"""
+WITH w AS (SELECT doc_id, unnest({_words_sql()}) AS word FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::UBIGINT AS h
+      FROM w),
+votes AS (
+  SELECT doc_id, t.i AS i,
+         sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(60) t(i)
+  GROUP BY doc_id, t.i),
+sims0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+             ELSE 0::UBIGINT END)::UBIGINT AS sim
+  FROM votes GROUP BY doc_id),
+sims AS (SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+         FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+
+    # full minhash-LSH pipeline over the md5 base hash
+    # (textops.minhash_dup_pairs hash_family="md5"): 5-char shingles,
+    # 63 universal-hash min-slots over h = md5_60bit % (2^31-1),
+    # b=21/r=3 banding on the raw slot triple, signature-agreement
+    # prefilter (>= 0.7*threshold), exact shingle-set jaccard verify.
+    # Every stage is integer/set arithmetic both engines share.
+    minhash_md5 = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM d),
+sh AS (SELECT doc_id, substr(t, i, 5) AS s FROM pos),
+h AS (SELECT doc_id,
+             ((('0x' || substr(md5(s), 1, 15))::UBIGINT
+               % 2147483647)::BIGINT) AS h
+      FROM sh),
+slots AS (
+  SELECT doc_id, j.j AS j,
+         min(((2 * j.j + 1 + 104729) * h
+              + ((j.j * 7919 + 13) % 2147483647)) % 2147483647) AS m
+  FROM h CROSS JOIN range(63) j(j)
+  GROUP BY doc_id, j.j),
+sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig
+         FROM slots GROUP BY doc_id),
+bandrows AS (
+  SELECT doc_id, b.b AS band,
+         [sig[3 * b.b + 1], sig[3 * b.b + 2], sig[3 * b.b + 3]] AS key
+  FROM sigs CROSS JOIN range(21) b(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+surv AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE (SELECT count(*) FROM range(63) t(k)
+         WHERE sa.sig[t.k + 1] = sb.sig[t.k + 1]) / 63.0 >= 0.35),
+wsets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+v AS (
+  SELECT s.doc_a, s.doc_b,
+         len(list_intersect(wa.ss, wb.ss))::DOUBLE AS inter,
+         (len(wa.ss) + len(wb.ss))::DOUBLE AS tot
+  FROM surv s JOIN wsets wa ON wa.doc_id = s.doc_a
+              JOIN wsets wb ON wb.doc_id = s.doc_b),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+               ELSE 0.0 END, 6) AS jaccard
+  FROM v)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"""
 
     # Karp-Rabin rolling hash (textops.fingerprint): h = fold over words
     # of h*B + word_val (mod 2^31-1), word_val = fold over chars of
@@ -1257,6 +1363,8 @@ FROM rdev d JOIN rmad m ON d.source = m.source"""
         "doc_quality": quality,
         "doc_langid": langid,
         "doc_fingerprint": fp,
+        "doc_simhash_md5_pairs": simhash_md5,
+        "doc_minhash_md5_pairs": minhash_md5,
         "doc_rolling_hash": rolling,
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": cosine,

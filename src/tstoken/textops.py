@@ -227,15 +227,20 @@ def _shingles(col="text", k: int = 5) -> F.Column:
         F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """MinHash signature per doc.
 
-    Shingles are string-hashed ONCE (xxhash64), then the k signature
-    slots come from a universal-hash family over the base hash:
+    Shingles are string-hashed ONCE, then the k signature slots come
+    from a universal-hash family over the base hash:
     sig[j] = min over shingles of (a_j·h + b_j) mod (2^31-1) — one
     expensive string-hash pass + k cheap integer passes, instead of k
     string-hash passes. All arithmetic stays below 2^52, safe under
     ANSI overflow checks.
+
+    hash_family: "xxhash64" (production — cheap JVM hash, rows-only
+    verification) or "md5" (conv(substr(md5,1,15),16,10), bit-identical
+    in DuckDB, so the md5 pipeline is exactly oracle-checkable).
     """
     P = (1 << 31) - 1
     k = 5
@@ -249,15 +254,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
     # Duplicate shingles are harmless under min(), so no distinct pass.
     t = F.lower(F.col("text"))
     n = F.length(t)
+    shingle = F.col("t").substr(F.col("i"), F.lit(k))
+    if hash_family == "md5":
+        base = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10) \
+                .cast("long")
+    else:
+        base = F.xxhash64(shingle)
     sh = (docs.repartition(max(docs.sparkSession.sparkContext
                                .defaultParallelism, 8))
           .select("doc_id", t.alias("t"),
                   F.explode(F.sequence(
                       F.lit(1), F.greatest(n - (k - 1), F.lit(1))))
                    .alias("i"))
-          .select("doc_id",
-                  F.pmod(F.xxhash64(F.col("t").substr(F.col("i"), F.lit(k))),
-                         F.lit(P)).alias("h")))
+          .select("doc_id", F.pmod(base, F.lit(P)).alias("h")))
     aggs = []
     for j in range(num_hashes):
         a = 2 * j + 1 + 104729          # odd multipliers, fixed family
@@ -271,7 +280,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
                       bands: int = 21, threshold: float = 0.5,
-                      io=None, sig_table: str | None = None) -> DataFrame:
+                      io=None, sig_table: str | None = None,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """LSH near-dup pairs: band bucket-join → signature-agreement
     prefilter → exact shingle-Jaccard verification.
 
@@ -308,15 +318,27 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     if io is None:
         from .tableio import TableIO
         io = TableIO(docs.sparkSession, _default_sig_scratch())
-    io.overwrite(sig_table, minhash_signatures(docs, num_hashes),
+    io.overwrite(sig_table,
+                 minhash_signatures(docs, num_hashes,
+                                    hash_family=hash_family),
                  partition_by=())
     sigs = io.read(sig_table)
+    if hash_family == "md5":
+        # band key = the slot-value ARRAY itself (no bucket hash):
+        # slot arrays compare identically in any engine, so the DuckDB
+        # oracle reproduces the banding exactly. The production path
+        # keeps xxhash64 bucket ids (8-byte keys vs r ints).
+        def band_key(b):
+            return F.array(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bh")
+    else:
+        def band_key(b):
+            return F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)]).alias("bh")
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)]).alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_key(b))
             for b in range(bands)])).alias("bs")) \
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
     a, b = band_rows.alias("a"), band_rows.alias("b")
@@ -353,7 +375,7 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
 
 # ------------------------------------------------------------- SimHash
 
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, hash_col: F.Column | None = None) -> DataFrame:
     """64-bit SimHash over word tokens: explode word hashes, then 64
     native bit-vote sums under whole-stage codegen.
 
@@ -364,10 +386,16 @@ def simhash(docs: DataFrame) -> DataFrame:
     with plain conditional sums (votes[i] = Σ ±1 on bit i), exactly the
     posexplode+codegen rewrite rollup_1m and minhash_signatures already
     use. explode_outer keeps zero-word docs (simhash = 0, matching the
-    old empty-array fold)."""
+    old empty-array fold).
+
+    hash_col: expression over the exploded word column `w` (default
+    xxhash64 — the fast JVM path). simhash_md5 passes a cross-engine
+    hash instead so the whole pipeline is DuckDB-oracle-checkable."""
+    if hash_col is None:
+        hash_col = F.xxhash64("w")
     h_raw = (docs.select("doc_id", F.explode_outer(_words()).alias("w"))
              .select("doc_id",
-                     F.when(F.col("w").isNotNull(), F.xxhash64("w"))
+                     F.when(F.col("w").isNotNull(), hash_col)
                       .alias("h")))
     aggs = [
         F.sum(F.when(F.col("h").isNull(), 0)
@@ -382,6 +410,18 @@ def simhash(docs: DataFrame) -> DataFrame:
                    F.shiftleft(F.lit(1).cast("long"), i))
              .otherwise(F.lit(0).cast("long")))
     return g.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_md5(docs: DataFrame) -> DataFrame:
+    """SimHash over a 60-bit md5-derived word hash —
+    conv(substr(md5(w),1,15),16,10) — computable bit-identically in
+    any engine with md5 (DuckDB: ('0x'||substr(md5(w),1,15))::UBIGINT),
+    so the FULL simhash + pigeonhole-banding pipeline gets an exact
+    DuckDB oracle (the xxhash64 production path is rows-only because
+    no other engine implements Spark's seeded xxhash64). Production
+    keeps xxhash64: one cheap JVM hash vs md5's cryptographic cost."""
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    return simhash(docs, hash_col=h)
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
