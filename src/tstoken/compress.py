@@ -2,12 +2,23 @@
 counterpart — SURVEY.md §1.4).
 
 Codecs per Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time
-Series Database" (VLDB 2015):
-  - timestamps: delta-of-delta with the paper's bucket widths
-    ('0' | '10'+7b | '110'+9b | '1110'+12b | '1111'+32b)
+Series Database" (VLDB 2015), with a widened escape tier (codec tag
+"gorilla+dod2"):
+  - timestamps: 32-bit count; 64-bit first value; 64-bit first delta;
+    then delta-of-delta with the paper's bucket widths plus a width
+    flag on the escape ('0' | '10'+7b | '110'+9b | '1110'+12b |
+    '1111'+'0'+32b | '1111'+'1'+64b). The paper's bare 32-bit escape
+    and 32-bit first delta (codec "gorilla+dod") wrapped on epoch-
+    second gaps >= 2^31 s — found by the hypothesis round-trip
+    property.
   - float64 values: XOR with previous; '0' if identical, '10' +
     meaningful bits if window fits the previous one, '11' + 5b leading
     + 6b length + bits otherwise.
+
+decompress_blocks refuses rows whose codec column is not CODEC: a
+block written under a different wire format would otherwise decode
+silently to garbage (the 64-bit read consumes the old 32-bit field
+plus stream bits with no framing error).
 
 Blocks are stored as binary columns per (source, tier, chunk) row:
 (source, chunk, ts_block, val_block, n_points, codec). Encoding runs
@@ -24,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, StringType,
                                StructField, StructType)
 
-CODEC = "gorilla+dod"
+CODEC = "gorilla+dod2"
 
 
 class _BitWriter:
@@ -277,6 +288,11 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for row in pdf.itertuples(index=False):
+            if row.codec != CODEC:
+                raise ValueError(
+                    f"block codec {row.codec!r} != {CODEC!r}: refusing "
+                    "to decode a foreign wire format (a gorilla+dod "
+                    "block would mis-decode silently, not error)")
             ts = decode_timestamps(row.ts_block)
             vals = decode_values(row.val_block)
             frames.append(pd.DataFrame({

@@ -212,6 +212,21 @@ class TestCompressSpark:
                      + blocks["val_block"].map(len).sum())
         assert enc_bytes < raw_bytes * 0.7
 
+    def test_foreign_codec_tag_refused(self, spark, t1m):
+        # wire format v2 ("gorilla+dod2", 64-bit first delta): a block
+        # tagged with another codec must refuse, not silently
+        # mis-decode (the 64-bit read would eat old 32-bit fields)
+        import pyspark.sql.utils as U
+
+        import pytest
+
+        from tstoken import compress
+        stale = compress.compress_tier(t1m) \
+            .withColumn("codec", F.lit("gorilla+dod"))
+        with pytest.raises((U.PythonException, Exception),
+                           match="gorilla"):
+            compress.decompress_blocks(stale).count()
+
 
 class TestRetention:
     def test_read_side_filter(self, spark, t1m):
