@@ -18,7 +18,11 @@ Series Database" (VLDB 2015), with a widened escape tier (codec tag
 decompress_blocks refuses rows whose codec column is not CODEC: a
 block written under a different wire format would otherwise decode
 silently to garbage (the 64-bit read consumes the old 32-bit field
-plus stream bits with no framing error).
+plus stream bits with no framing error). Blocks persisted by the
+round-2 "gorilla+dod" (v1) writer are decodable via the explicit
+opt-in `decompress_blocks(..., migrate_v1=True)` or re-encoded in
+bulk by `recompress_v1_blocks` — the default stays a hard refusal so
+a mixed-format table can never half-decode silently.
 
 Blocks are stored as binary columns per (source, tier, chunk) row:
 (source, chunk, ts_block, val_block, n_points, codec). Encoding runs
@@ -36,6 +40,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, StringType,
                                StructField, StructType)
 
 CODEC = "gorilla+dod2"
+CODEC_V1 = "gorilla+dod"  # round-2 wire format: decode-only, opt-in
 
 
 class _BitWriter:
@@ -166,6 +171,56 @@ def decode_timestamps(block: bytes) -> np.ndarray:
     return out
 
 
+def decode_timestamps_v1(block: bytes) -> np.ndarray:
+    """Decode a round-2 "gorilla+dod" (v1) timestamp block.
+
+    v1 wire format: 32-bit count; 64-bit first value; 32-bit first
+    delta; dod buckets as v2 except the escape is flag-less
+    '1111'+32b. Correct for every block v1 could have produced from
+    in-range data; inputs that overflowed v1's 32-bit fields were
+    corrupted AT ENCODE TIME (the wrap that motivated v2) and are not
+    recoverable by any decoder. The value codec is unchanged between
+    v1 and v2."""
+    r = _BitReader(block)
+    n = r.read(32)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t0 = r.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    if n == 1:
+        return out
+    delta = r.read(32)
+    if delta >= 1 << 31:
+        delta -= 1 << 32
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        tag = r.read(1)
+        if tag == 0:
+            dod = 0
+        else:
+            tag2 = r.read(1)
+            if tag2 == 0:
+                dod = r.read(7) - 63
+            else:
+                tag3 = r.read(1)
+                if tag3 == 0:
+                    dod = r.read(9) - 255
+                else:
+                    tag4 = r.read(1)
+                    if tag4 == 0:
+                        dod = r.read(12) - 2047
+                    else:
+                        dod = r.read(32)
+                        if dod >= 1 << 31:
+                            dod -= 1 << 32
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
 def encode_values(vals: np.ndarray) -> bytes:
     """Gorilla XOR-encode float64 values."""
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
@@ -275,8 +330,13 @@ def compress_tier(rollup: DataFrame, value_col: str = "sum_n_tok",
         _encode_group, schema=BLOCK_SCHEMA)
 
 
-def decompress_blocks(blocks: DataFrame) -> DataFrame:
-    """blocks_<tier> → (source, bucket_ts, value)."""
+def decompress_blocks(blocks: DataFrame, migrate_v1: bool = False) -> DataFrame:
+    """blocks_<tier> → (source, bucket_ts, value).
+
+    migrate_v1=True additionally accepts round-2 "gorilla+dod" (v1)
+    blocks, routed through decode_timestamps_v1 — an explicit opt-in
+    so the default can never half-decode a mixed-format table. For a
+    one-shot table upgrade use recompress_v1_blocks instead."""
     from pyspark.sql.types import DoubleType, TimestampType
 
     out_schema = StructType([
@@ -288,12 +348,16 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for row in pdf.itertuples(index=False):
-            if row.codec != CODEC:
+            if row.codec == CODEC:
+                ts = decode_timestamps(row.ts_block)
+            elif migrate_v1 and row.codec == CODEC_V1:
+                ts = decode_timestamps_v1(row.ts_block)
+            else:
                 raise ValueError(
                     f"block codec {row.codec!r} != {CODEC!r}: refusing "
                     "to decode a foreign wire format (a gorilla+dod "
-                    "block would mis-decode silently, not error)")
-            ts = decode_timestamps(row.ts_block)
+                    "block would mis-decode silently, not error); pass "
+                    "migrate_v1=True to read v1 blocks explicitly")
             vals = decode_values(row.val_block)
             frames.append(pd.DataFrame({
                 "source": row.source,
@@ -307,3 +371,31 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     return blocks.groupBy("source").applyInPandas(fn, schema=out_schema)
+
+
+def recompress_v1_blocks(blocks: DataFrame) -> DataFrame:
+    """One-shot migration job: re-encode v1 "gorilla+dod" blocks as v2.
+
+    Rows already tagged CODEC pass through untouched (byte-identical);
+    v1 rows are decoded with decode_timestamps_v1 and re-encoded under
+    the v2 wire format, preserving (source, chunk) framing. Any other
+    codec tag still raises. Runs as a mapInPandas over block rows —
+    one Arrow batch per partition, no shuffle."""
+    def fn(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                if row.codec == CODEC:
+                    continue
+                if row.codec != CODEC_V1:
+                    raise ValueError(
+                        f"block codec {row.codec!r} is neither {CODEC!r} "
+                        f"nor {CODEC_V1!r}: cannot migrate an unknown "
+                        "wire format")
+                ts = decode_timestamps_v1(row.ts_block)
+                out.iat[i, out.columns.get_loc("ts_block")] = \
+                    encode_timestamps(ts)
+                out.iat[i, out.columns.get_loc("codec")] = CODEC
+            yield out
+
+    return blocks.mapInPandas(fn, schema=blocks.schema)

@@ -148,19 +148,24 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
             "only RIFF/WAVE PCM is decodable without an audio library; "
             "got a non-WAV payload")
     i, rate, nch, data = 12, None, 1, None
-    while i + 8 <= len(payload):
-        cid, size = payload[i:i + 4], struct.unpack(
-            "<I", payload[i + 4:i + 8])[0]
-        body = payload[i + 8:i + 8 + size]
-        if cid == b"fmt ":
-            fmt, nch, rate = struct.unpack("<HHI", body[:8])
-            bits = struct.unpack("<H", body[14:16])[0]
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    "only 16-bit PCM WAV is decodable here")
-        elif cid == b"data":
-            data = body
-        i += 8 + size + (size & 1)
+    try:
+        while i + 8 <= len(payload):
+            cid, size = payload[i:i + 4], struct.unpack(
+                "<I", payload[i + 4:i + 8])[0]
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt, nch, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt != 1 or bits != 16:
+                    raise NotImplementedError(
+                        "only 16-bit PCM WAV is decodable here")
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+    except (struct.error, IndexError) as e:
+        # error contract: malformed-but-magic-matching payloads raise
+        # ValueError, same as every other decode failure here
+        raise ValueError(f"truncated/malformed WAV chunk: {e}") from e
     if rate is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
@@ -215,14 +220,18 @@ def sample_video_frames(payload: bytes,
         raise NotImplementedError(
             "only the TSVC frame container is decodable without "
             "ffmpeg/pyav; got a non-TSVC payload")
-    fps, n = struct.unpack("<HI", payload[4:10])
-    step = max(int(round(fps * every_ms / 1000.0)), 1)
-    frames, i = [], 10
-    for k in range(n):
-        size = struct.unpack("<I", payload[i:i + 4])[0]
-        if k % step == 0:
-            frames.append(decode_image(payload[i + 4:i + 4 + size]))
-        i += 4 + size
+    try:
+        fps, n = struct.unpack("<HI", payload[4:10])
+        step = max(int(round(fps * every_ms / 1000.0)), 1)
+        frames, i = [], 10
+        for k in range(n):
+            size = struct.unpack("<I", payload[i:i + 4])[0]
+            if k % step == 0:
+                frames.append(decode_image(payload[i + 4:i + 4 + size]))
+            i += 4 + size
+    except (struct.error, IndexError) as e:
+        raise ValueError(
+            f"truncated/malformed TSVC container: {e}") from e
     return frames
 
 

@@ -46,6 +46,30 @@ def _default_sig_scratch() -> str:
         _default_sig_scratch._registered = True
     return scratch
 
+
+def cleanup_sigs() -> int:
+    """Remove all default-io minhash signature tables accumulated by
+    this process, returning how many were deleted.
+
+    For callers looping minhash_dup_pairs over many corpora with the
+    default io: each call leaves one signature copy on disk until
+    interpreter exit; call this between corpora once the previous
+    result has been fully consumed. Results from earlier calls are
+    lazily bound to these parquet tables and become unreadable after
+    cleanup — collect before cleaning."""
+    import os
+    import shutil
+
+    scratch = os.path.join(__import__("tempfile").gettempdir(),
+                           f"tstoken_sigs_{os.getpid()}")
+    if not os.path.isdir(scratch):
+        return 0
+    tables = [d for d in os.listdir(scratch)
+              if d.startswith("minhash_sigs_")]
+    for d in tables:
+        shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
+    return len(tables)
+
 WORD_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
 STOPWORDS = {
@@ -281,7 +305,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
 def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
                       bands: int = 21, threshold: float = 0.5,
                       io=None, sig_table: str | None = None,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      prefilter_frac: float = 0.7) -> DataFrame:
     """LSH near-dup pairs: band bucket-join → signature-agreement
     prefilter → exact shingle-Jaccard verification.
 
@@ -309,8 +334,18 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     disk cost is bounded by the process, not left behind forever.
     Within one long-lived process, repeated default-io calls still
     accumulate one signature copy each until exit; callers looping over
-    corpora should pass io + sig_table explicitly and own the
-    overwrite/reuse lifecycle.
+    corpora should either pass io + sig_table explicitly and own the
+    overwrite/reuse lifecycle, or call cleanup_sigs() between corpora
+    once each result has been fully consumed.
+
+    Prefilter recall: the 0.7·threshold signature-agreement cut drops a
+    true pair only when its estimate falls ≥0.3·threshold below truth.
+    With 63 slots the estimator is Binomial(63, j)/63 (σ ≈ 0.063 at
+    j = 0.5), so at the default threshold 0.5 a just-above-threshold
+    pair needs a ≈2.4σ-low draw to be lost — property-tested over
+    planted near-threshold pairs in test_property.py (zero drops
+    across seeds), measured drop rate 0 at sf0.01/sf0.001 vs the exact
+    md5 oracle.
     """
     rows_per_band = num_hashes // bands
     if sig_table is None:
@@ -358,7 +393,12 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
     est = agree.cast("double") / F.lit(float(num_hashes))
-    cand = cand.filter(est >= threshold * 0.7).select("doc_a", "doc_b")
+    if prefilter_frac > 0:
+        # prefilter_frac=0 disables the estimate cut (every banded
+        # candidate pays exact verification) — the recall property test
+        # A/Bs 0.7 vs 0 on identical signatures to prove zero drops
+        cand = cand.filter(est >= threshold * prefilter_frac)
+    cand = cand.select("doc_a", "doc_b")
     # verify survivors with true shingle Jaccard
     sh = docs.select("doc_id", _shingles().alias("sh"))
     v = (cand

@@ -169,6 +169,30 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated
 
+    def test_magic_matching_but_malformed_raises_valueerror(self):
+        # error contract (ADVICE r3): payloads that pass the magic
+        # check but have truncated/garbage chunk structure must raise
+        # ValueError for direct callers, never struct.error/IndexError
+        import struct as _s
+        from tstoken.multimodal import (VIDEO_MAGIC, decode_audio,
+                                        encode_wav, sample_video_frames)
+        # WAV with an fmt chunk too short for its declared fields
+        wav = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+               + b"fmt " + _s.pack("<I", 16) + b"\x01\x00")  # body cut
+        with pytest.raises(ValueError, match="malformed"):
+            decode_audio(wav)
+        # genuine WAV truncated mid-header
+        good = encode_wav(np.sin(np.arange(100) / 5.0), rate=8000)
+        with pytest.raises(ValueError):
+            decode_audio(good[:30])
+        # TSVC claiming frames it doesn't contain
+        tsvc = VIDEO_MAGIC + _s.pack("<HI", 4, 3)
+        with pytest.raises(ValueError, match="TSVC"):
+            sample_video_frames(tsvc)
+        # TSVC with header cut mid-field
+        with pytest.raises(ValueError, match="TSVC"):
+            sample_video_frames(VIDEO_MAGIC + b"\x04")
+
     def test_codec_stubs_marked(self):
         from tstoken.multimodal import (decode_audio, decode_image,
                                         sample_video_frames)

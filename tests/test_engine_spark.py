@@ -227,6 +227,101 @@ class TestCompressSpark:
                            match="gorilla"):
             compress.decompress_blocks(stale).count()
 
+    @staticmethod
+    def _encode_timestamps_v1(ts):
+        # genuine round-2 "gorilla+dod" writer (32-bit first delta,
+        # flag-less '1111'+32b escape) so the migration tests decode
+        # real v1 bytes, not relabeled v2 ones
+        import numpy as np
+        from tstoken.compress import _BitWriter
+        ts = np.asarray(ts, dtype=np.int64)
+        w = _BitWriter()
+        n = ts.shape[0]
+        w.write(n, 32)
+        if n == 0:
+            return w.getvalue()
+        w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+        if n == 1:
+            return w.getvalue()
+        w.write(int(ts[1] - ts[0]) & ((1 << 32) - 1), 32)
+        for d in np.diff(np.diff(ts)):
+            d = int(d)
+            if d == 0:
+                w.write(0, 1)
+            elif -63 <= d <= 64:
+                w.write(0b10, 2)
+                w.write(d + 63, 7)
+            elif -255 <= d <= 256:
+                w.write(0b110, 3)
+                w.write(d + 255, 9)
+            elif -2047 <= d <= 2048:
+                w.write(0b1110, 4)
+                w.write(d + 2047, 12)
+            else:
+                w.write(0b1111, 4)
+                w.write(d & ((1 << 32) - 1), 32)
+        return w.getvalue()
+
+    def _v1_blocks(self, spark):
+        import numpy as np
+        from tstoken import compress
+        ts = np.array([1_700_000_000 + 60 * i for i in range(500)]
+                      + [1_700_100_000 + 3600 * i for i in range(100)],
+                      dtype=np.int64)
+        vals = np.sin(np.arange(ts.size) * 0.37) * 100 + 7.0
+        row = {
+            "source": "legacy", "chunk": 0,
+            "ts_block": self._encode_timestamps_v1(ts),
+            "val_block": compress.encode_values(vals),
+            "n_points": int(ts.size), "codec": compress.CODEC_V1,
+        }
+        return (spark.createDataFrame([row], schema=compress.BLOCK_SCHEMA),
+                ts, vals)
+
+    def test_v1_migrate_flag_decodes_legacy_blocks(self, spark):
+        import numpy as np
+        import pytest
+        from tstoken import compress
+        v1, ts, vals = self._v1_blocks(spark)
+        # default path still refuses — migration is opt-in only
+        with pytest.raises(Exception, match="migrate_v1"):
+            compress.decompress_blocks(v1).count()
+        dec = compress.decompress_blocks(v1, migrate_v1=True).toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+        got_ts = (pd.to_datetime(dec["bucket_ts"]).astype("int64")
+                  // 10 ** 9).to_numpy()
+        assert (got_ts == ts).all()
+        assert (dec["value"].to_numpy() == vals).all()
+
+    def test_recompress_v1_blocks_upgrades_in_place(self, spark, t1m):
+        import pytest
+        from tstoken import compress
+        v1, ts, vals = self._v1_blocks(spark)
+        v2 = compress.compress_tier(t1m)
+        mixed = v2.unionByName(v1)
+        migrated = compress.recompress_v1_blocks(mixed)
+        tags = [r.codec for r in migrated.select("codec").distinct().collect()]
+        assert tags == [compress.CODEC]
+        # already-v2 rows pass through byte-identical
+        orig = {(r.source, r.chunk): (bytes(r.ts_block), bytes(r.val_block))
+                for r in v2.collect()}
+        for r in migrated.collect():
+            if r.source != "legacy":
+                assert (bytes(r.ts_block), bytes(r.val_block)) \
+                    == orig[(r.source, r.chunk)]
+        # and the migrated legacy block decodes under the DEFAULT path
+        dec = compress.decompress_blocks(
+            migrated.filter("source = 'legacy'")).toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+        got_ts = (pd.to_datetime(dec["bucket_ts"]).astype("int64")
+                  // 10 ** 9).to_numpy()
+        assert (got_ts == ts).all()
+        assert (dec["value"].to_numpy() == vals).all()
+        # unknown tags still refuse even through the migration job
+        bad = v1.withColumn("codec", F.lit("zstd"))
+        with pytest.raises(Exception, match="unknown"):
+            compress.recompress_v1_blocks(bad).count()
+
 
 class TestRetention:
     def test_read_side_filter(self, spark, t1m):

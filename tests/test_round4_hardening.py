@@ -1,0 +1,118 @@
+"""Round-4 hardening contracts: minhash prefilter recall bound,
+signature-scratch lifecycle, held-out detector validation support.
+
+The prefilter test answers VERDICT r3 "what's wrong #1": the
+0.7·threshold signature-agreement cut in minhash_dup_pairs drops a
+candidate before exact verification; near-threshold true pairs are the
+ones at risk. We plant pairs with exact shingle Jaccard in
+[threshold, threshold+0.1] across several seeds and assert the
+pipeline returns the SAME pair set with the prefilter on
+(prefilter_frac=0.7) and off (prefilter_frac=0) — zero drops
+attributable to the cut, on identical signatures.
+"""
+
+import os
+import random
+import string
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_shingles(text: str, k: int = 5) -> set:
+    """Python mirror of textops._shingles: lowercase, substr(i, 5) for
+    i in 1..max(n-k+1, 1) — tail shingles shorter than k included,
+    matching Spark's substr clamping."""
+    t = text.lower()
+    n = len(t)
+    hi = max(n - (k - 1), 1)
+    return {t[i - 1:i - 1 + k] for i in range(1, hi + 1)}
+
+
+def _jac(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    if not sa and not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def _near_threshold_pairs(seed: int, threshold: float,
+                          want: int = 8) -> list:
+    """Deterministically mutate random word texts until `want` pairs
+    land with exact shingle Jaccard in [threshold, threshold+0.1]."""
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choices(string.ascii_lowercase,
+                                 k=rng.randint(3, 9)))
+             for _ in range(400)]
+    pairs = []
+    attempts = 0
+    while len(pairs) < want and attempts < 4000:
+        attempts += 1
+        base = rng.choices(vocab, k=rng.randint(25, 45))
+        rate = rng.uniform(0.20, 0.55)
+        var = [w if rng.random() > rate else rng.choice(vocab)
+               for w in base]
+        a, b = " ".join(base), " ".join(var)
+        if threshold <= _jac(a, b) <= threshold + 0.10:
+            pairs.append((a, b))
+    return pairs
+
+
+class TestMinhashPrefilterRecall:
+    @pytest.mark.parametrize("seed", [11, 37, 101])
+    def test_prefilter_drops_nothing_near_threshold(self, spark, seed):
+        from tstoken.textops import minhash_dup_pairs
+
+        threshold = 0.5
+        planted = _near_threshold_pairs(seed, threshold)
+        assert len(planted) >= 6, "generator failed to plant pairs"
+        rows = []
+        for i, (a, b) in enumerate(planted):
+            rows.append((100 * seed + 2 * i, a, "en", "s1"))
+            rows.append((100 * seed + 2 * i + 1, b, "en", "s1"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+
+        def pairset(prefilter_frac):
+            got = minhash_dup_pairs(
+                docs, threshold=threshold,
+                prefilter_frac=prefilter_frac).collect()
+            return {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in got}
+
+        with_cut = pairset(0.7)
+        without_cut = pairset(0.0)
+        # the estimate cut must not change the verified output at all
+        assert with_cut == without_cut
+        # and the planted near-threshold pairs do reach the output in
+        # bulk (banding at j≈0.5, b=21/r=3 catches ≈94% per pair, so
+        # demanding >half across ≥6 pairs never flakes)
+        assert len(without_cut) >= len(planted) // 2
+
+
+class TestSigScratchLifecycle:
+    def test_cleanup_sigs_removes_default_tables(self, spark):
+        from tstoken import textops
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat here", "en", "s1"),
+             (2, "the cat sat on the mat there", "en", "s1"),
+             (3, "completely unrelated sentence text", "en", "s1")],
+            "doc_id long, text string, lang string, source string")
+        # two sequential default-io calls, each fully consumed
+        textops.minhash_dup_pairs(docs).collect()
+        textops.minhash_dup_pairs(docs).collect()
+        scratch = os.path.join(tempfile.gettempdir(),
+                               f"tstoken_sigs_{os.getpid()}")
+        live = [d for d in os.listdir(scratch)
+                if d.startswith("minhash_sigs_")]
+        assert len(live) >= 2
+        removed = textops.cleanup_sigs()
+        assert removed >= 2
+        left = [d for d in os.listdir(scratch)
+                if d.startswith("minhash_sigs_")] \
+            if os.path.isdir(scratch) else []
+        assert left == []
+        # and the default path still works after a cleanup
+        textops.minhash_dup_pairs(docs).collect()
