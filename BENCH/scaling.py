@@ -199,6 +199,50 @@ def _verdict_cell(summary: dict, tag: str) -> str:
         ("PASS" if v else "FAIL")
 
 
+def render_holdout_f1() -> str:
+    """Held-out F1 section from BENCH/holdout_f1.json (written by
+    BENCH/holdout_f1.py), so a --render never silently drops it from
+    BASELINE.md. Empty string when the harness hasn't been run."""
+    path = os.path.join(REPO, "BENCH", "holdout_f1.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        h = json.load(f)
+    dets = ("iqr", "mad", "stl", "stl_z", "mad_avg", "stl_z_avg")
+    rows = []
+    for name, r in h["regimes"].items():
+        singles = {d: r[d] for d in dets}
+        best = max(singles, key=singles.get)
+        rows.append(f"| {name} | {r['n_truth']} | **{r['ensemble']}** "
+                    f"| {singles[best]} ({best}) |")
+    table = "\n".join(rows)
+    return f"""
+
+## Held-out anomaly-flag F1 (thresholds frozen)
+
+The extrema-ensemble thresholds (`detect.extrema_ensemble_flags`,
+avg 3.5 / spike 3.5 / dip 8.0) were tuned on the bench generator's
+seed-0 regime, an overfitting risk flagged by the round-3 verdict.
+`BENCH/holdout_f1.py` re-scores every bench detector with thresholds
+FROZEN ({h['rows']:,} rows, {h['sources']} sources, scoring identical
+to bench.py; full numbers in `BENCH/holdout_f1.json`, commit
+{h['commit']}):
+
+| regime | truth pts | ensemble F1 | best single detector |
+|---|---|---|---|
+{table}
+
+Reading: fresh seeds of the training regime reproduce the headline F1
+within 0.01 — the 0.83 is not seed overfit. Regime shifts move it the
+way the signal-to-noise moves: stronger/denser anomalies score higher,
+weaker x5 / x0.2 anomalies (half the planted magnitude, inside the
+±30% seasonal swing) degrade honestly to
+{h['ensemble_heldout_min']} while the ensemble still beats every
+single detector on every regime. No thresholds were touched for any
+row.
+"""
+
+
 def render_md(summary: dict) -> str:
     rows = ["| level | best wall (s) | all iterations (s) | rolled points/s | raw rows/s |",
             "|---|---|---|---|---|"]
@@ -302,7 +346,7 @@ threads of a `local[k]` master share ONE memory subsystem and ONE JVM
 heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
-"""
+""" + render_holdout_f1()
 
 
 def recompute_verdicts(summary: dict) -> dict:

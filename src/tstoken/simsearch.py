@@ -86,10 +86,54 @@ def _infer_dim_or_none(emb: DataFrame,
         return None
 
 
+def size_prefilter(threshold: float, target_recall: float = 0.8,
+                   max_tables: int = 32,
+                   max_planes: int = 16) -> tuple[int, int, float, float]:
+    """Size the banded LSH prefilter (r planes/table, T tables) so a
+    pair AT the cosine threshold is recalled with probability >=
+    target_recall: recall(c) = 1 - (1 - p^r)^T, p = 1 - arccos(c)/π.
+
+    Maximizes r (selectivity) subject to the T needed for the target
+    staying <= max_tables, then returns (r, T, predicted_recall_at_t,
+    random_pair_collision_rate). The collision rate — recall(0), i.e.
+    the fraction of UNRELATED pairs the prefilter fails to cut — is the
+    honest cost readout: hyperplane LSH barely separates c = 0.35
+    (p ≈ 0.61) from random (p = 0.5), so low thresholds buy bounded
+    recall only at weak selectivity; at c >= 0.6 the same budget gives
+    both. Callers needing tight recall at low thresholds should raise
+    max_tables and accept the fanout, or use the exact path."""
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    best = None
+    for r in range(1, max_planes + 1):
+        pr = p ** r
+        if pr >= 1.0:
+            continue
+        t_needed = math.ceil(math.log(1.0 - target_recall)
+                             / math.log(1.0 - pr))
+        if t_needed <= max_tables:
+            best = (r, max(t_needed, 1))
+        else:
+            break  # T only grows as r grows
+    if best is None:
+        raise ValueError(
+            f"no (r, T) with T <= {max_tables} reaches recall "
+            f"{target_recall} at threshold {threshold}; raise "
+            "max_tables or use the exact path (prefilter_planes=0)")
+    r, t = best
+    recall_at_t = 1.0 - (1.0 - p ** r) ** t
+    collision = 1.0 - (1.0 - 0.5 ** r) ** t
+    return r, t, recall_at_t, collision
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          prefilter_planes: int = 8,
                          prefilter_tables: int = 8,
-                         dim: int | None = None) -> DataFrame:
+                         dim: int | None = None,
+                         target_recall: float | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
     The library DEFAULT is the banded multi-table LSH prefilter (a
@@ -105,15 +149,23 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     Recall for a pair at cosine c is 1 - (1 - p^r)^T with
     p = 1 - arccos(c)/π; e.g. at c = 0.35 (p ≈ 0.61) r=8 gives
     p^r ≈ 2% per table, so a SINGLE table is useless near the
-    threshold while T=8 tables reach ≈15% there and >99% for c ≥ 0.9 —
-    size (r, T) for the recall/fanout point you need. The cosine is
-    rounded to 6 decimals BEFORE the threshold compare so inclusion is
-    reproducible across engines.
+    threshold while T=8 tables reach ≈15% there and >99% for c ≥ 0.9.
+    Pass target_recall to SIZE (r, T) from the threshold instead of
+    taking the fixed 8×8: size_prefilter maximizes selectivity subject
+    to recall >= target_recall AT the threshold, overriding
+    prefilter_planes/prefilter_tables when given (prefilter_planes=0
+    still selects the exact path; see size_prefilter for the
+    recall-vs-fanout math at low thresholds).
+    The cosine is rounded to 6 decimals BEFORE the threshold compare
+    so inclusion is reproducible across engines.
 
     dim=None (default) infers the vector dimensionality from one
     corpus row before building the plan — see infer_dim for why a
     mismatched dim is silently catastrophic.
     """
+    if target_recall is not None and prefilter_planes > 0:
+        prefilter_planes, prefilter_tables, _, _ = size_prefilter(
+            threshold, target_recall)
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"),

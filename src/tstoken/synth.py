@@ -40,13 +40,14 @@ ZIPF_EXP = 1.2
 M31 = 2147483648  # 2^31
 
 
-def source_weights(n_sources: int) -> np.ndarray:
-    w = 1.0 / np.power(np.arange(1, n_sources + 1, dtype=np.float64), ZIPF_EXP)
+def source_weights(n_sources: int, zipf_exp: float = ZIPF_EXP) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n_sources + 1, dtype=np.float64), zipf_exp)
     return w / w.sum()
 
 
-def rows_per_source(total_rows: int, n_sources: int) -> list[int]:
-    w = source_weights(n_sources)
+def rows_per_source(total_rows: int, n_sources: int,
+                    zipf_exp: float = ZIPF_EXP) -> list[int]:
+    w = source_weights(n_sources, zipf_exp)
     counts = np.floor(total_rows * w).astype(np.int64)
     counts[0] += total_rows - int(counts.sum())  # remainder to the hot key
     return [int(c) for c in counts]
@@ -70,7 +71,12 @@ def _case_chain(id_col, bounds, values):
 
 def generate_tokens_raw(spark: SparkSession, total_rows: int,
                         n_sources: int = 8,
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        seed: int = 0,
+                        anomaly_period: int = 200,
+                        spike_mult: float = 8.0,
+                        drop_mult: float = 0.125,
+                        zipf_exp: float = ZIPF_EXP) -> DataFrame:
     """The 4-column tokens_raw table, fully Spark-native.
 
     One `spark.range` over the global row count with CASE-chain source
@@ -78,8 +84,16 @@ def generate_tokens_raw(spark: SparkSession, total_rows: int,
     scan with uniform partitions, no per-source Union (a 16-way Union
     both skews partition sizes and trips a Spark 4.1 constraint-rewrite
     bug, `UnionBase.rewriteConstraints` NoSuchElementException, when a
-    posexplode plan over the union is cached)."""
-    counts = rows_per_source(total_rows, n_sources)
+    posexplode plan over the union is cached).
+
+    Regime knobs (held-out detector validation, BENCH/holdout_f1.py):
+    `seed` folds an offset into every hash mix so anomaly/gap/level
+    placement is a fresh draw per seed; `anomaly_period` sets the
+    planted rate (1 per `anomaly_period` minutes), `spike_mult` /
+    `drop_mult` the magnitudes, `zipf_exp` the source skew. Defaults
+    reproduce the original table bit-for-bit (seed=0 adds zero to each
+    mix) — the DuckDB tok_* oracles and goldens depend on that."""
+    counts = rows_per_source(total_rows, n_sources, zipf_exp)
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
     active = [(i, c) for i, c in enumerate(counts) if c > 0]
@@ -99,9 +113,12 @@ def generate_tokens_raw(spark: SparkSession, total_rows: int,
     minute = (seq * F.col("step")) / F.lit(60)
     minute = F.floor(minute).cast("long")
 
-    h1 = _mix_cols(src_idx, seq)
-    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97), F.lit(M31))
-    h3 = F.pmod(minute * F.lit(48271) + src_idx * F.lit(131), F.lit(M31))
+    h1 = F.pmod(_mix_cols(src_idx, seq) + F.lit(seed * 2246822519),
+                F.lit(M31))
+    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97)
+                + F.lit(seed * 1000000007), F.lit(M31))
+    h3 = F.pmod(minute * F.lit(48271) + src_idx * F.lit(131)
+                + F.lit(seed * 104729), F.lit(M31))
 
     minute_of_day = F.pmod(minute, F.lit(1440)).cast("double")
     minute_of_hour = F.pmod(minute, F.lit(60)).cast("double")
@@ -110,10 +127,10 @@ def generate_tokens_raw(spark: SparkSession, total_rows: int,
               + F.lit(0.3) * F.sin(F.lit(two_pi) * minute_of_day / F.lit(1440.0))
               + F.lit(0.1) * F.sin(F.lit(two_pi) * minute_of_hour / F.lit(60.0)))
 
-    anomalous = F.pmod(h2, F.lit(200)) == 0
-    spike = F.pmod(h2, F.lit(400)) == 0
-    mult = F.when(anomalous & spike, F.lit(8.0)) \
-            .when(anomalous, F.lit(0.125)).otherwise(F.lit(1.0))
+    anomalous = F.pmod(h2, F.lit(anomaly_period)) == 0
+    spike = F.pmod(h2, F.lit(2 * anomaly_period)) == 0
+    mult = F.when(anomalous & spike, F.lit(float(spike_mult))) \
+            .when(anomalous, F.lit(float(drop_mult))).otherwise(F.lit(1.0))
     gap = (F.pmod(h3, F.lit(100)) == 0) & ~anomalous
 
     base_tok = (F.lit(64) + F.pmod(h1, F.lit(1985))).cast("double")
@@ -158,10 +175,13 @@ def stage_tokens_raw(spark: SparkSession, total_rows: int,
 
 
 def ground_truth(spark: SparkSession, total_rows: int,
-                 n_sources: int = 8) -> DataFrame:
+                 n_sources: int = 8, seed: int = 0,
+                 anomaly_period: int = 200,
+                 zipf_exp: float = ZIPF_EXP) -> DataFrame:
     """(source, bucket_ts, kind) for every planted anomalous minute that
-    has at least one generated row — the F1 ground truth (FIXTURES.md A1)."""
-    counts = rows_per_source(total_rows, n_sources)
+    has at least one generated row — the F1 ground truth (FIXTURES.md A1).
+    Regime knobs must match the generate_tokens_raw call being scored."""
+    counts = rows_per_source(total_rows, n_sources, zipf_exp)
     active = []
     for src_idx, n_rows in enumerate(counts):
         if n_rows == 0:
@@ -176,9 +196,11 @@ def ground_truth(spark: SparkSession, total_rows: int,
                 F.col("id"), bounds, [int(b) for b in bounds[:-1]])))
     minute = F.col("minute")
     src_idx = F.col("src_idx")
-    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97), F.lit(M31))
-    anomalous = F.pmod(h2, F.lit(200)) == 0
-    kind = F.when(F.pmod(h2, F.lit(400)) == 0, F.lit("spike")).otherwise(F.lit("drop"))
+    h2 = F.pmod(minute * F.lit(2654435761) + src_idx * F.lit(97)
+                + F.lit(seed * 1000000007), F.lit(M31))
+    anomalous = F.pmod(h2, F.lit(anomaly_period)) == 0
+    kind = F.when(F.pmod(h2, F.lit(2 * anomaly_period)) == 0,
+                  F.lit("spike")).otherwise(F.lit("drop"))
     return (base.where(anomalous)
             .select(F.format_string("src-%03d", src_idx).alias("source"),
                     F.timestamp_seconds(F.lit(T0_EPOCH) + minute * 60)

@@ -91,6 +91,64 @@ class TestMinhashPrefilterRecall:
         assert len(without_cut) >= len(planted) // 2
 
 
+class TestPrefilterSizing:
+    def test_sizing_meets_target_within_budget(self):
+        import math
+        from tstoken.simsearch import size_prefilter
+        for threshold in (0.35, 0.6, 0.8, 0.9):
+            r, t, recall, collision = size_prefilter(threshold, 0.8)
+            p = 1 - math.acos(threshold) / math.pi
+            assert recall >= 0.8
+            assert t <= 32 and 1 <= r <= 16
+            assert abs(recall - (1 - (1 - p ** r) ** t)) < 1e-12
+            # r is maximal: one more plane would blow the table budget
+            # (unless already at the plane cap)
+            if r < 16:
+                pr1 = p ** (r + 1)
+                t1 = math.ceil(math.log(0.2) / math.log(1 - pr1))
+                assert t1 > 32
+
+    def test_higher_threshold_buys_selectivity(self):
+        from tstoken.simsearch import size_prefilter
+        r_low, _, _, col_low = size_prefilter(0.35, 0.8)
+        r_high, _, _, col_high = size_prefilter(0.9, 0.8)
+        assert r_high > r_low
+        # random-pair collision rate (prefilter leakage) must shrink
+        assert col_high < col_low
+
+    def test_infeasible_raises(self):
+        from tstoken.simsearch import size_prefilter
+        with pytest.raises(ValueError, match="max_tables"):
+            size_prefilter(0.05, 0.999, max_tables=2)
+
+    def test_target_recall_end_to_end(self, spark):
+        import numpy as np
+        from tstoken.simsearch import cosine_neardup_pairs
+        rng = np.random.default_rng(7)
+        rows = []
+        # 20 planted near-dup pairs (cosine ~0.85-0.95) + 60 random
+        for i in range(20):
+            v = rng.standard_normal(16)
+            w = v + rng.standard_normal(16) * 0.35
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1, [float(x) for x in w]))
+        for i in range(60):
+            rows.append((100 + i,
+                         [float(x) for x in rng.standard_normal(16)]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        exact = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(
+            emb, threshold=0.8, prefilter_planes=0).collect()}
+        assert len(exact) >= 10  # the plant worked
+        banded = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(
+            emb, threshold=0.8, target_recall=0.95).collect()}
+        assert banded <= exact  # prefilter can only drop, never add
+        recall = len(banded & exact) / len(exact)
+        # per-pair recall >=0.95 AT the threshold and higher above it;
+        # 0.8 leaves deterministic-seed headroom
+        assert recall >= 0.8, (recall, len(exact))
+
+
 class TestSigScratchLifecycle:
     def test_cleanup_sigs_removes_default_tables(self, spark):
         from tstoken import textops
