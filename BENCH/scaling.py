@@ -243,6 +243,48 @@ row.
 """
 
 
+def render_cold_note() -> str:
+    """Cold-start root-cause section from BENCH/cold_profile.json
+    (written by BENCH/cold_profile.py)."""
+    path = os.path.join(REPO, "BENCH", "cold_profile.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        cp = json.load(f)
+    c1 = cp["cold"]["iters"][0]
+    w1 = cp["warmed"]["iters"][0]
+    c_steady = min(i["total"] for i in cp["cold"]["iters"][1:])
+    w_steady = min(i["total"] for i in cp["warmed"]["iters"][1:])
+    return f"""
+
+## tok_pipeline cold-start root cause
+
+BENCH_r03 recorded `tok_pipeline_cold` 61.3 s vs 16.7 s steady at
+sf0.1 and asked whether the gap is spin-up or a first-run plan
+difference. `BENCH/cold_profile.py` ran the pipeline with per-phase
+walls in two fresh processes over the same staged 2M-row table: one
+cold, one after a 6 s UNRELATED warm-up job (different plan shape —
+range -> wide agg -> shuffle; it shares no stage with the pipeline).
+
+Cold first iteration: rollup phase {c1['rollup_1m']} s. After the
+unrelated warm-up: first-ever pipeline execution's rollup phase
+{w1['rollup_1m']} s — already at steady state (cold steady
+{c_steady} s, warmed steady {w_steady} s totals; full per-phase walls
+in `BENCH/cold_profile.json`, measured under visible host contention,
+spikes disclosed). Because a job sharing NO stage with the pipeline
+removes most of the first-run premium, the premium is generic
+JVM/Spark infrastructure warm-up (codegen compiler, shuffle and
+scheduler class loading, first parquet footer reads) — hypothesis (a),
+not plan-shape-specific JIT (b) and not a first-run plan difference:
+the per-phase shape of iteration 1 matches later iterations, only
+scaled. Implication: at the 10^12-row design point the one-time
+~30-45 s is noise; a latency-sensitive deployment can absorb it by
+running any trivial job at session start. bench.py's steady-state
+metric (min of post-first iterations) remains the design-point
+number; `tok_pipeline_cold` stays published for transparency.
+"""
+
+
 def render_md(summary: dict) -> str:
     rows = ["| level | best wall (s) | all iterations (s) | rolled points/s | raw rows/s |",
             "|---|---|---|---|---|"]
@@ -346,7 +388,7 @@ threads of a `local[k]` master share ONE memory subsystem and ONE JVM
 heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
-""" + render_holdout_f1()
+""" + render_holdout_f1() + render_cold_note()
 
 
 def recompute_verdicts(summary: dict) -> dict:
