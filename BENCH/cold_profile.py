@@ -108,9 +108,13 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), mode],
                 capture_output=True, text=True)
-            line = [ln for ln in r.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            results[mode] = json.loads(line)
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")]
+            if r.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"{mode} child failed (rc={r.returncode}); "
+                    f"stderr tail: {r.stderr[-2000:]}")
+            results[mode] = json.loads(lines[-1])
         out = os.path.join(REPO, "BENCH", "cold_profile.json")
         with open(out, "w") as f:
             json.dump(results, f, indent=1)

@@ -304,6 +304,21 @@ def _emb_neardup_banded(spark, sf_dir) -> DataFrame:
                                 threshold=0.35)
 
 
+def _emb_neardup_sized(spark, sf_dir) -> DataFrame:
+    """Round-4 target_recall path: the banded prefilter geometry is
+    SIZED from the threshold (size_prefilter(0.45, 0.9) -> r=6 planes,
+    T=30 tables) so recall at cosine=0.45 is bounded >= 0.9 instead of
+    the fixed 8x8's near-threshold percent-level recall. Threshold
+    0.45 sits just under the test corpus's max pair cosine (~0.51 at
+    sf0.01) so the result is non-empty — a 0-row oracle would verify
+    nothing. The oracle regenerates the same sized geometry's
+    hyperplanes in SQL, so the sizing-driven candidate generation +
+    exact scoring verify end to end."""
+    from tstoken.simsearch import cosine_neardup_pairs
+    return cosine_neardup_pairs(_emb_queries(spark, sf_dir),
+                                threshold=0.45, target_recall=0.9)
+
+
 def _ivf_centroids_fixed() -> list[list[float]]:
     """Deterministic random spherical centroids (seed 77, 16×64,
     unit-normalized). The contract query uses FIXED centroids instead
@@ -542,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "emb_neardup_pairs": _emb_neardup,
         "emb_neardup_banded": _emb_neardup_banded,
+        "emb_neardup_sized": _emb_neardup_sized,
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
@@ -1001,6 +1017,36 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ON a.vec_id < b.vec_id AND ({sig_match_ab}))
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
 
+    # sized near-dup oracle (round 4): regenerate the geometry
+    # size_prefilter derives from (threshold 0.45, target_recall 0.9)
+    # — r planes per table, T tables, seeds 42..42+T-1 — as SQL
+    # literals; pin it so a sizing change fails loudly instead of
+    # silently diverging from the oracle
+    from tstoken.simsearch import size_prefilter
+    _szr, _szt, _, _ = size_prefilter(0.45, 0.9)
+    assert (_szr, _szt) == (6, 30), \
+        f"size_prefilter(0.45, 0.9) geometry drifted: {(_szr, _szt)}"
+    sized_sigs = []
+    for t in range(_szt):
+        planes = _hyperplanes(64, _szr, seed=42 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}"
+            f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        sized_sigs.append(f"({bits}) AS zsig{t}")
+    zsig_cols = ",\n    ".join(sized_sigs)
+    zmatch = " OR ".join(f"a.zsig{t} = b.zsig{t}" for t in range(_szt))
+    neardup_sized = f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v,
+    {zsig_cols}
+  FROM ev),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id AND ({zmatch}))
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45"""
+
     monthwise = """
 WITH daily AS (SELECT event_type AS source, date_trunc('day', ts) AS bucket_ts,
                       count(*) AS n_events FROM events GROUP BY 1, 2),
@@ -1359,6 +1405,7 @@ FROM rdev d JOIN rmad m ON d.source = m.source"""
         "doc_exact_dedup": doc_dedup,
         "emb_neardup_pairs": neardup,
         "emb_neardup_banded": neardup_banded,
+        "emb_neardup_sized": neardup_sized,
         "doc_token_counts": tokc,
         "doc_quality": quality,
         "doc_langid": langid,

@@ -180,44 +180,63 @@ def decode_timestamps_v1(block: bytes) -> np.ndarray:
     in-range data; inputs that overflowed v1's 32-bit fields were
     corrupted AT ENCODE TIME (the wrap that motivated v2) and are not
     recoverable by any decoder. The value codec is unchanged between
-    v1 and v2."""
+    v1 and v2.
+
+    Tag-ambiguity guard: one intermediate build wrote the v2 wire
+    format under the OLD tag (the overflow fix landed one commit
+    before the tag bump), so the tag alone does not prove v1 framing.
+    Mis-framing a v2 stream as v1 (a 32-bit read of a 64-bit field
+    shifts every subsequent bit) either overruns the block or — since
+    genuine blocks are encoded from bucket_ts-sorted points, hence
+    strictly increasing — breaks monotonicity with overwhelming
+    probability; both raise ValueError instead of returning garbage.
+    Decode such blocks with decode_timestamps and relabel them."""
+    not_v1 = ("not v1-framed (likely a v2-wire block carrying the old "
+              "tag — decode with decode_timestamps and relabel)")
     r = _BitReader(block)
-    n = r.read(32)
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    t0 = r.read(64)
-    if t0 >= 1 << 63:
-        t0 -= 1 << 64
-    out = np.empty(n, dtype=np.int64)
-    out[0] = t0
-    if n == 1:
-        return out
-    delta = r.read(32)
-    if delta >= 1 << 31:
-        delta -= 1 << 32
-    out[1] = out[0] + delta
-    for i in range(2, n):
-        tag = r.read(1)
-        if tag == 0:
-            dod = 0
-        else:
-            tag2 = r.read(1)
-            if tag2 == 0:
-                dod = r.read(7) - 63
+    try:
+        n = r.read(32)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        t0 = r.read(64)
+        if t0 >= 1 << 63:
+            t0 -= 1 << 64
+        out = np.empty(n, dtype=np.int64)
+        out[0] = t0
+        if n == 1:
+            return out
+        delta = r.read(32)
+        if delta >= 1 << 31:
+            delta -= 1 << 32
+        out[1] = out[0] + delta
+        for i in range(2, n):
+            tag = r.read(1)
+            if tag == 0:
+                dod = 0
             else:
-                tag3 = r.read(1)
-                if tag3 == 0:
-                    dod = r.read(9) - 255
+                tag2 = r.read(1)
+                if tag2 == 0:
+                    dod = r.read(7) - 63
                 else:
-                    tag4 = r.read(1)
-                    if tag4 == 0:
-                        dod = r.read(12) - 2047
+                    tag3 = r.read(1)
+                    if tag3 == 0:
+                        dod = r.read(9) - 255
                     else:
-                        dod = r.read(32)
-                        if dod >= 1 << 31:
-                            dod -= 1 << 32
-        delta += dod
-        out[i] = out[i - 1] + delta
+                        tag4 = r.read(1)
+                        if tag4 == 0:
+                            dod = r.read(12) - 2047
+                        else:
+                            dod = r.read(32)
+                            if dod >= 1 << 31:
+                                dod -= 1 << 32
+            delta += dod
+            out[i] = out[i - 1] + delta
+    except IndexError:
+        raise ValueError(
+            f"v1 decode ran past the block end: {not_v1}") from None
+    if n > 1 and not (np.diff(out) > 0).all():
+        raise ValueError(
+            f"v1 decode produced non-monotonic timestamps: {not_v1}")
     return out
 
 

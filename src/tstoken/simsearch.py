@@ -107,13 +107,19 @@ def size_prefilter(threshold: float, target_recall: float = 0.8,
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
     p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    if p >= 1.0:
+        # threshold 1.0: identical directions collide on every plane,
+        # so maximal selectivity with one table recalls them all
+        return max_planes, 1, 1.0, 0.5 ** max_planes
+    if p <= 0.0:
+        raise ValueError(
+            f"threshold {threshold} (collision probability 0) cannot "
+            "be recalled by hyperplane LSH; use the exact path "
+            "(prefilter_planes=0)")
     best = None
     for r in range(1, max_planes + 1):
-        pr = p ** r
-        if pr >= 1.0:
-            continue
         t_needed = math.ceil(math.log(1.0 - target_recall)
-                             / math.log(1.0 - pr))
+                             / math.log(1.0 - p ** r))
         if t_needed <= max_tables:
             best = (r, max(t_needed, 1))
         else:
@@ -133,7 +139,8 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          prefilter_planes: int = 8,
                          prefilter_tables: int = 8,
                          dim: int | None = None,
-                         target_recall: float | None = None) -> DataFrame:
+                         target_recall: float | None = None,
+                         max_tables: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
     The library DEFAULT is the banded multi-table LSH prefilter (a
@@ -145,6 +152,9 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     quadratic (BroadcastNestedLoopJoin), kept only as the oracle
     baseline for small corpora (round-2 verdict flipped the default;
     the quadratic path must be opted into, never stumbled into).
+    BREAKING (round 3, see CHANGES.md): before the flip, default
+    callers got the exact pair set; they now get the approximate
+    banded one.
 
     Recall for a pair at cosine c is 1 - (1 - p^r)^T with
     p = 1 - arccos(c)/π; e.g. at c = 0.35 (p ≈ 0.61) r=8 gives
@@ -164,8 +174,11 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     mismatched dim is silently catastrophic.
     """
     if target_recall is not None and prefilter_planes > 0:
+        # max_tables caps the sized table count (only used with
+        # target_recall) so size_prefilter's "raise max_tables"
+        # remediation is reachable through this API
         prefilter_planes, prefilter_tables, _, _ = size_prefilter(
-            threshold, target_recall)
+            threshold, target_recall, max_tables=max_tables)
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"),

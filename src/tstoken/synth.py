@@ -208,14 +208,19 @@ def ground_truth(spark: SparkSession, total_rows: int,
                     kind.alias("kind")))
 
 
-def generate_tokens_raw_pandas(total_rows: int, n_sources: int = 8):
+def generate_tokens_raw_pandas(total_rows: int, n_sources: int = 8,
+                               seed: int = 0, anomaly_period: int = 200,
+                               spike_mult: float = 8.0,
+                               drop_mult: float = 0.125,
+                               zipf_exp: float = ZIPF_EXP):
     """NumPy/pandas oracle for the same table — used by exactness tests.
 
-    Must match generate_tokens_raw row-for-row (including token arrays).
+    Must match generate_tokens_raw row-for-row (including token
+    arrays), for EVERY regime knob combination, not just the defaults.
     """
     import pandas as pd
 
-    counts = rows_per_source(total_rows, n_sources)
+    counts = rows_per_source(total_rows, n_sources, zipf_exp)
     frames = []
     for src_idx, n_rows in enumerate(counts):
         if n_rows == 0:
@@ -223,15 +228,17 @@ def generate_tokens_raw_pandas(total_rows: int, n_sources: int = 8):
         step = 3 + (src_idx * 7) % 43
         seq = np.arange(n_rows, dtype=np.int64)
         minute = (seq * step) // 60
-        h1 = (seq * 1103515245 + src_idx * 2654435761 + 12345) % M31
-        h2 = (minute * 2654435761 + src_idx * 97) % M31
-        h3 = (minute * 48271 + src_idx * 131) % M31
+        h1 = (seq * 1103515245 + src_idx * 2654435761 + 12345
+              + seed * 2246822519) % M31
+        h2 = (minute * 2654435761 + src_idx * 97
+              + seed * 1000000007) % M31
+        h3 = (minute * 48271 + src_idx * 131 + seed * 104729) % M31
         factor = (1.0 + 0.3 * np.sin(2 * np.pi * (minute % 1440) / 1440.0)
                   + 0.1 * np.sin(2 * np.pi * (minute % 60) / 60.0))
-        anomalous = (h2 % 200) == 0
-        spike = (h2 % 400) == 0
-        mult = np.where(anomalous & spike, 8.0,
-                        np.where(anomalous, 0.125, 1.0))
+        anomalous = (h2 % anomaly_period) == 0
+        spike = (h2 % (2 * anomaly_period)) == 0
+        mult = np.where(anomalous & spike, float(spike_mult),
+                        np.where(anomalous, float(drop_mult), 1.0))
         gap = ((h3 % 100) == 0) & ~anomalous
         base_tok = (64 + h1 % 1985).astype(np.float64)
         n_tok = np.maximum(1, np.floor(base_tok * factor * mult)).astype(np.int32)

@@ -30,17 +30,24 @@ from pyspark.sql import functions as F
 _SIG_SEQ = itertools.count()
 
 
+def _sig_scratch_path() -> str:
+    """The per-process scratch dir path (no side effects) — single
+    source of truth for _default_sig_scratch and cleanup_sigs."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(),
+                        f"tstoken_sigs_{os.getpid()}")
+
+
 def _default_sig_scratch() -> str:
     """Per-process scratch dir for default signature tables, removed at
     interpreter exit so per-invocation unique tables cannot leak past
     the process that owns them."""
     import atexit
-    import os
     import shutil
-    import tempfile
 
-    scratch = os.path.join(tempfile.gettempdir(),
-                           f"tstoken_sigs_{os.getpid()}")
+    scratch = _sig_scratch_path()
     if not getattr(_default_sig_scratch, "_registered", False):
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         _default_sig_scratch._registered = True
@@ -60,8 +67,7 @@ def cleanup_sigs() -> int:
     import os
     import shutil
 
-    scratch = os.path.join(__import__("tempfile").gettempdir(),
-                           f"tstoken_sigs_{os.getpid()}")
+    scratch = _sig_scratch_path()
     if not os.path.isdir(scratch):
         return 0
     tables = [d for d in os.listdir(scratch)
@@ -343,10 +349,16 @@ def minhash_dup_pairs(docs: DataFrame, num_hashes: int = 63,
     With 63 slots the estimator is Binomial(63, j)/63 (σ ≈ 0.063 at
     j = 0.5), so at the default threshold 0.5 a just-above-threshold
     pair needs a ≈2.4σ-low draw to be lost — property-tested over
-    planted near-threshold pairs in test_property.py (zero drops
-    across seeds), measured drop rate 0 at sf0.01/sf0.001 vs the exact
+    planted near-threshold pairs in test_round4_hardening.py (zero
+    drops across seeds, prefilter on vs off A/B on identical
+    signatures), measured drop rate 0 at sf0.01/sf0.001 vs the exact
     md5 oracle.
     """
+    if not 0.0 <= prefilter_frac <= 1.0:
+        # >1 silently drops true pairs above the threshold (the cut
+        # would demand an estimate ABOVE truth); <0 is meaningless
+        raise ValueError(
+            f"prefilter_frac must be in [0, 1], got {prefilter_frac}")
     rows_per_band = num_hashes // bands
     if sig_table is None:
         sig_table = f"minhash_sigs_{next(_SIG_SEQ)}"
@@ -477,6 +489,11 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     chunks narrow to 64/(k+1) bits and candidate buckets fatten
     accordingly — at cluster scale prefer a small bound or a second
     rotation pass over a wide bound.
+
+    BREAKING (round 3, see CHANGES.md): the default max_hamming
+    changed 8 -> 3 with this fix, so default callers get a smaller —
+    now guaranteed-complete — pair set than round-2 code returned;
+    pass max_hamming=8 explicitly for the old radius.
     """
     return simhash_pairs_from_sigs(simhash(docs), max_hamming=max_hamming)
 

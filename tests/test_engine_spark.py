@@ -78,6 +78,32 @@ class TestSynth:
         assert set(gt["kind"]) <= {"spike", "drop"}
         assert len(gt) > 0
 
+    def test_seeded_regime_matches_pandas_oracle(self, spark):
+        # the regime knobs (held-out F1 harness) must keep the Spark
+        # generator and the NumPy oracle row-identical, not just the
+        # defaults — both mixes fold the seed offset congruently
+        kw = dict(seed=3, anomaly_period=100, spike_mult=5.0,
+                  drop_mult=0.2, zipf_exp=1.6)
+        sdf = synth.generate_tokens_raw(spark, 8000, n_sources=SOURCES,
+                                        **kw) \
+            .select("doc_id", "n_tok").toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        odf = synth.generate_tokens_raw_pandas(8000, n_sources=SOURCES,
+                                               **kw) \
+            [["doc_id", "n_tok"]].sort_values("doc_id") \
+            .reset_index(drop=True)
+        assert len(sdf) == len(odf)
+        assert (sdf["doc_id"] == odf["doc_id"]).all()
+        assert (sdf["n_tok"].astype(int) == odf["n_tok"].astype(int)).all()
+        # and a seeded table differs from the seed-0 one (the knob bites)
+        base = synth.generate_tokens_raw_pandas(8000, n_sources=SOURCES)
+        assert not odf["doc_id"].equals(
+            base[["doc_id"]].sort_values("doc_id")
+            .reset_index(drop=True)["doc_id"]) or \
+            not odf["n_tok"].reset_index(drop=True).equals(
+                base.sort_values("doc_id")["n_tok"].astype(odf["n_tok"].dtype)
+                .reset_index(drop=True))
+
 
 class TestRollup:
     def test_1m_exact_vs_oracle(self, t1m, oracle_pdf):

@@ -121,6 +121,50 @@ class TestPrefilterSizing:
         with pytest.raises(ValueError, match="max_tables"):
             size_prefilter(0.05, 0.999, max_tables=2)
 
+    def test_boundary_thresholds(self):
+        from tstoken.simsearch import size_prefilter
+        # threshold 1.0: p=1, trivially recalled at max selectivity
+        r, t, recall, collision = size_prefilter(1.0, 0.9)
+        assert (r, t, recall) == (16, 1, 1.0)
+        assert collision == 0.5 ** 16
+        # threshold -1: p=0, unreachable by hyperplane LSH — a clear
+        # error, not a ZeroDivisionError
+        with pytest.raises(ValueError, match="exact path"):
+            size_prefilter(-1.0, 0.9)
+
+    def test_prefilter_frac_validated(self, spark):
+        from tstoken.textops import minhash_dup_pairs
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh", "en", "s1")],
+            "doc_id long, text string, lang string, source string")
+        with pytest.raises(ValueError, match="prefilter_frac"):
+            minhash_dup_pairs(docs, prefilter_frac=2.0)
+        with pytest.raises(ValueError, match="prefilter_frac"):
+            minhash_dup_pairs(docs, prefilter_frac=-0.5)
+
+
+class TestV1TagAmbiguityGuard:
+    def test_v2_wire_under_v1_tag_refuses_not_garbage(self, spark):
+        # one intermediate build wrote v2 wire bytes under the old
+        # tag; the v1 decoder must detect the mis-framing (decoded
+        # timestamps lose monotonicity) and raise, never return junk
+        import numpy as np
+        from tstoken import compress
+        ts = np.array([1_700_000_000 + 60 * i for i in range(400)],
+                      dtype=np.int64)
+        vals = np.cos(np.arange(400) * 0.11) * 10
+        row = {"source": "ambig", "chunk": 0,
+               "ts_block": compress.encode_timestamps(ts),  # v2 wire
+               "val_block": compress.encode_values(vals),
+               "n_points": 400, "codec": compress.CODEC_V1}  # old tag
+        df = spark.createDataFrame([row], schema=compress.BLOCK_SCHEMA)
+        # mis-framing surfaces as either a block overrun or a
+        # monotonicity violation — both carry the not-v1-framed message
+        with pytest.raises(Exception, match="not v1-framed"):
+            compress.decompress_blocks(df, migrate_v1=True).count()
+        with pytest.raises(Exception, match="not v1-framed"):
+            compress.recompress_v1_blocks(df).count()
+
     def test_target_recall_end_to_end(self, spark):
         import numpy as np
         from tstoken.simsearch import cosine_neardup_pairs
