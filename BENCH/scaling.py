@@ -228,6 +228,7 @@ def render_holdout_f1() -> str:
         f"fresh seeds of the training regime land within "
         f"{max(seed_devs):.3f} of the training F1 {train}"
         if seed_devs else "no fresh-seed regimes recorded")
+    bottom = min(h["regimes"], key=lambda n: h["regimes"][n]["ensemble"])
     margin = min(margins)
     margin_line = (
         f"the ensemble beats the best single detector on every regime "
@@ -252,9 +253,9 @@ to bench.py; full numbers in `BENCH/holdout_f1.json`, commit
 
 Reading: {seed_line}. Regime shifts move the score the way the
 signal-to-noise moves — the held-out ensemble range is
-[{h['ensemble_heldout_min']}, {h['ensemble_heldout_max']}], with the
-weakest-magnitude regime at the bottom — and {margin_line}. No
-thresholds were touched for any row.
+[{h['ensemble_heldout_min']}, {h['ensemble_heldout_max']}], with
+`{bottom}` at the bottom — and {margin_line}. No thresholds were
+touched for any row.
 """
 
 
@@ -283,9 +284,11 @@ def render_cold_note() -> str:
             "most of the first-run premium, the premium is generic "
             "JVM/Spark infrastructure warm-up (codegen compiler, "
             "shuffle and scheduler class loading, first parquet "
-            "footer reads) — not plan-shape-specific JIT and not a "
-            "first-run plan difference: the per-phase shape of "
-            "iteration 1 matches later iterations, only scaled.")
+            "footer reads) — not plan-shape-specific JIT of the "
+            "dominant rollup stage, and not a first-run plan "
+            "difference (the claim is gated on the rollup phase, the "
+            "pipeline's largest; per-phase walls for the rest are in "
+            "the JSON).")
     else:
         conclusion = (
             f"The unrelated warm-up did NOT close the first-run gap "

@@ -975,15 +975,24 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
         "cosine_neardup_pairs prefilter_planes drifted"
     assert _nd_defaults["prefilter_tables"].default == 8, \
         "cosine_neardup_pairs prefilter_tables drifted"
-    table_sigs = []
-    for t in range(8):
-        planes = _hyperplanes(64, 8, seed=42 + t)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}"
-            f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes))
-        table_sigs.append(f"({bits}) AS sig{t}")
-    sig_cols = ",\n    ".join(table_sigs)
+    def _sig_cols_sql(n_planes: int, n_tables: int, prefix: str) -> str:
+        """Hyperplane signature columns as DuckDB SQL — one column per
+        table, seeds 42..42+T-1, bit i = sign of dot with plane i;
+        mirrors simsearch._multi_table_sigs exactly. Shared by the
+        LSH, banded and sized oracles so the SQL shape can never
+        desynchronize between them."""
+        cols = []
+        for t in range(n_tables):
+            planes = _hyperplanes(64, n_planes, seed=42 + t)
+            bits = " + ".join(
+                f"(CASE WHEN list_dot_product(v, "
+                f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes))
+            cols.append(f"({bits}) AS {prefix}{t}")
+        return ",\n    ".join(cols)
+
+    sig_cols = _sig_cols_sql(8, 8, "sig")
     sig_match = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(8))
     lsh = f"""
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1026,15 +1035,7 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""
     _szr, _szt, _, _ = size_prefilter(0.45, 0.9)
     assert (_szr, _szt) == (6, 30), \
         f"size_prefilter(0.45, 0.9) geometry drifted: {(_szr, _szt)}"
-    sized_sigs = []
-    for t in range(_szt):
-        planes = _hyperplanes(64, _szr, seed=42 + t)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}"
-            f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes))
-        sized_sigs.append(f"({bits}) AS zsig{t}")
-    zsig_cols = ",\n    ".join(sized_sigs)
+    zsig_cols = _sig_cols_sql(_szr, _szt, "zsig")
     zmatch = " OR ".join(f"a.zsig{t} = b.zsig{t}" for t in range(_szt))
     neardup_sized = f"""
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -188,9 +188,10 @@ def decode_timestamps_v1(block: bytes) -> np.ndarray:
     Mis-framing a v2 stream as v1 (a 32-bit read of a 64-bit field
     shifts every subsequent bit) either overruns the block or — since
     genuine blocks are encoded from bucket_ts-sorted points, hence
-    strictly increasing — breaks monotonicity with overwhelming
-    probability; both raise ValueError instead of returning garbage.
-    Decode such blocks with decode_timestamps and relabel them."""
+    non-decreasing (equal seconds are legal: dod 0) — produces a
+    backwards timestamp step with overwhelming probability; both raise
+    ValueError instead of returning garbage. Decode such blocks with
+    decode_timestamps and relabel them."""
     not_v1 = ("not v1-framed (likely a v2-wire block carrying the old "
               "tag — decode with decode_timestamps and relabel)")
     r = _BitReader(block)
@@ -234,7 +235,7 @@ def decode_timestamps_v1(block: bytes) -> np.ndarray:
     except IndexError:
         raise ValueError(
             f"v1 decode ran past the block end: {not_v1}") from None
-    if n > 1 and not (np.diff(out) > 0).all():
+    if n > 1 and not (np.diff(out) >= 0).all():
         raise ValueError(
             f"v1 decode produced non-monotonic timestamps: {not_v1}")
     return out

@@ -143,28 +143,6 @@ class TestPrefilterSizing:
             minhash_dup_pairs(docs, prefilter_frac=-0.5)
 
 
-class TestV1TagAmbiguityGuard:
-    def test_v2_wire_under_v1_tag_refuses_not_garbage(self, spark):
-        # one intermediate build wrote v2 wire bytes under the old
-        # tag; the v1 decoder must detect the mis-framing (decoded
-        # timestamps lose monotonicity) and raise, never return junk
-        import numpy as np
-        from tstoken import compress
-        ts = np.array([1_700_000_000 + 60 * i for i in range(400)],
-                      dtype=np.int64)
-        vals = np.cos(np.arange(400) * 0.11) * 10
-        row = {"source": "ambig", "chunk": 0,
-               "ts_block": compress.encode_timestamps(ts),  # v2 wire
-               "val_block": compress.encode_values(vals),
-               "n_points": 400, "codec": compress.CODEC_V1}  # old tag
-        df = spark.createDataFrame([row], schema=compress.BLOCK_SCHEMA)
-        # mis-framing surfaces as either a block overrun or a
-        # monotonicity violation — both carry the not-v1-framed message
-        with pytest.raises(Exception, match="not v1-framed"):
-            compress.decompress_blocks(df, migrate_v1=True).count()
-        with pytest.raises(Exception, match="not v1-framed"):
-            compress.recompress_v1_blocks(df).count()
-
     def test_target_recall_end_to_end(self, spark):
         import numpy as np
         from tstoken.simsearch import cosine_neardup_pairs
@@ -191,6 +169,39 @@ class TestV1TagAmbiguityGuard:
         # per-pair recall >=0.95 AT the threshold and higher above it;
         # 0.8 leaves deterministic-seed headroom
         assert recall >= 0.8, (recall, len(exact))
+
+
+class TestV1TagAmbiguityGuard:
+    def test_v2_wire_under_v1_tag_refuses_not_garbage(self, spark):
+        # one intermediate build wrote v2 wire bytes under the old
+        # tag; the v1 decoder must detect the mis-framing (decoded
+        # timestamps go backwards or overrun) and raise, never junk
+        import numpy as np
+        from tstoken import compress
+        ts = np.array([1_700_000_000 + 60 * i for i in range(400)],
+                      dtype=np.int64)
+        vals = np.cos(np.arange(400) * 0.11) * 10
+        row = {"source": "ambig", "chunk": 0,
+               "ts_block": compress.encode_timestamps(ts),  # v2 wire
+               "val_block": compress.encode_values(vals),
+               "n_points": 400, "codec": compress.CODEC_V1}  # old tag
+        df = spark.createDataFrame([row], schema=compress.BLOCK_SCHEMA)
+        # mis-framing surfaces as either a block overrun or a
+        # monotonicity violation — both carry the not-v1-framed message
+        with pytest.raises(Exception, match="not v1-framed"):
+            compress.decompress_blocks(df, migrate_v1=True).count()
+        with pytest.raises(Exception, match="not v1-framed"):
+            compress.recompress_v1_blocks(df).count()
+
+    def test_equal_timestamps_are_legal_v1(self, spark):
+        # dod 0 (repeated epoch second) is a legal v1 stream — the
+        # mis-framing guard must be non-strict and not reject it
+        import numpy as np
+        from test_engine_spark import TestCompressSpark
+        from tstoken.compress import decode_timestamps_v1
+        ts = np.array([100, 100, 160, 160, 220], dtype=np.int64)
+        blk = TestCompressSpark._encode_timestamps_v1(ts)
+        assert (decode_timestamps_v1(blk) == ts).all()
 
 
 class TestSigScratchLifecycle:
