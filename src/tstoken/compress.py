@@ -126,9 +126,23 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+def _check_count(n: int, block: bytes) -> None:
+    """Bound the decoded point count by the block's information
+    capacity BEFORE allocating the output array: every point beyond
+    the second costs at least 1 stream bit, so n can never exceed
+    8*len(block) + 2. A truncated/corrupt block whose first 4 bytes
+    decode to a huge n must raise the documented ValueError, not
+    attempt a multi-GiB np.empty and die with MemoryError (ADVICE r4)."""
+    if n > 8 * len(block) + 2:
+        raise ValueError(
+            f"corrupt timestamp block: count {n} exceeds the "
+            f"{len(block)}-byte block's capacity")
+
+
 def decode_timestamps(block: bytes) -> np.ndarray:
     r = _BitReader(block)
     n = r.read(32)
+    _check_count(n, block)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     t0 = r.read(64)
@@ -189,14 +203,21 @@ def decode_timestamps_v1(block: bytes) -> np.ndarray:
     shifts every subsequent bit) either overruns the block or — since
     genuine blocks are encoded from bucket_ts-sorted points, hence
     non-decreasing (equal seconds are legal: dod 0) — produces a
-    backwards timestamp step with overwhelming probability; both raise
-    ValueError instead of returning garbage. Decode such blocks with
-    decode_timestamps and relabel them."""
+    backwards timestamp step with overwhelming probability, and a
+    mis-framed stream that survives both checks essentially never
+    consumes the whole block (a genuine v1 decode always lands within
+    the final padding byte); all three raise ValueError instead of
+    returning garbage. Decode such blocks with decode_timestamps and
+    relabel them."""
     not_v1 = ("not v1-framed (likely a v2-wire block carrying the old "
               "tag — decode with decode_timestamps and relabel)")
     r = _BitReader(block)
     try:
         n = r.read(32)
+        if n > 8 * len(block) + 2:
+            raise ValueError(
+                f"v1 count {n} exceeds the {len(block)}-byte block's "
+                f"capacity: {not_v1}")
         if n == 0:
             return np.empty(0, dtype=np.int64)
         t0 = r.read(64)
@@ -238,6 +259,17 @@ def decode_timestamps_v1(block: bytes) -> np.ndarray:
     if n > 1 and not (np.diff(out) >= 0).all():
         raise ValueError(
             f"v1 decode produced non-monotonic timestamps: {not_v1}")
+    if n > 1 and r.pos < 8 * len(block) - 7:
+        # a genuine v1 encoder emits exactly the stream then pads to
+        # the byte boundary, so a correct decode always lands within
+        # 7 bits of the block end; a mis-framed v2 stream that
+        # happened to decode non-decreasing essentially never consumes
+        # the whole block (ADVICE r4: strengthens the probabilistic
+        # tag-ambiguity guard). n<=1 blocks are bit-identical between
+        # v1 and v2, so no ambiguity exists there.
+        raise ValueError(
+            f"v1 decode consumed only {r.pos} of {8 * len(block)} "
+            f"block bits: {not_v1}")
     return out
 
 

@@ -193,7 +193,11 @@ def ma_flags(rollup: DataFrame, value_col: str = VALUE_COL,
 def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
                            avg_threshold: float = 3.5,
                            spike_threshold: float = 3.5,
-                           dip_threshold: float = 8.0) -> DataFrame:
+                           dip_threshold: float = 8.0,
+                           adaptive_dip: bool = False,
+                           adaptive_dip_low: float = 5.0,
+                           adaptive_dip_max_density: float = 3.0
+                           ) -> DataFrame:
     """Engine-native ensemble over the rollup's order-statistic columns
     (no reference counterpart; SURVEY §2.9 K14 family). Fully native —
     window aggregates + MAD fences, no Python in the data path.
@@ -223,6 +227,20 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     projection. Run this over a MATERIALIZED tier table (the engine's
     TableIO pipeline does), not over an unmaterialized rollup lineage —
     otherwise each reference recomputes the rollup upstream.
+
+    `adaptive_dip=True` (OPT-IN; the frozen defaults above are never
+    altered by it being off) lowers the dip threshold to
+    `adaptive_dip_low` for sources whose median docs/bucket is at most
+    `adaptive_dip_max_density`: on sparse sources the bucket max is
+    doc-sampling noisy, so its detrended-log MAD is wide and a weak
+    dip (e.g. x0.2) scores well under the deep fixed fence — the
+    recall loss the round-4 held-out table showed on the rare-weak
+    regime. Dense sources keep the deep threshold (their tight MAD
+    makes even weak dips score high, and the long single-doc low tail
+    the deep fence guards against lives in MID-density sources).
+    Adaptive parameters were chosen a priori + sanity-checked on the
+    seed-0 TRAINING regime only; held-out scores in
+    BENCH/holdout_f1.json.
     """
     ng = rollup
     if "gap_filled" in rollup.columns:
@@ -232,8 +250,9 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     avg_v = F.col("sum_n_tok").cast("double") / F.col("n_docs")
     lmin = F.log(F.col("min_n_tok").cast("double") + 1.0)
     lmax = F.log(F.col("max_n_tok").cast("double") + 1.0)
+    dens_cols = [F.col("n_docs")] if adaptive_dip else []
     feat = (ng.select("source", "bucket_ts", avg_v.alias("avg_n_tok"),
-                      lmin.alias("lmin"), lmax.alias("lmax"))
+                      lmin.alias("lmin"), lmax.alias("lmax"), *dens_cols)
             .withColumn("d_min", F.col("lmin") - F.avg("lmin").over(w))
             .withColumn("d_max", F.col("lmax") - F.avg("lmax").over(w)))
 
@@ -242,9 +261,11 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     # calling mad_flags three times would re-derive the windowed feat
     # subtree up to 6x. Fence math is identical to mad_flags.
     cols = {"a": "avg_n_tok", "s": "d_min", "d": "d_max"}
+    dens_agg = ([F.percentile(F.col("n_docs").cast("double"), F.lit(0.5))
+                 .alias("med_docs")] if adaptive_dip else [])
     med = feat.groupBy("source").agg(*[
         F.percentile(F.col(c), F.lit(0.5)).alias(f"med_{t}")
-        for t, c in cols.items()])
+        for t, c in cols.items()], *dens_agg)
     j1 = feat.join(F.broadcast(med), "source")
     for t, c in cols.items():
         j1 = j1.withColumn(f"ad_{t}", F.abs(F.col(c) - F.col(f"med_{t}")))
@@ -260,8 +281,13 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
                            .otherwise(F.lit(0.0)))
 
     s_a, s_s, s_d = mscore("a"), mscore("s"), mscore("d")
+    dip_fence = F.lit(dip_threshold)
+    if adaptive_dip:
+        dip_fence = F.when(
+            F.col("med_docs") <= adaptive_dip_max_density,
+            F.lit(adaptive_dip_low)).otherwise(F.lit(dip_threshold))
     flag = (s_a > avg_threshold) | (s_s > spike_threshold) \
-        | ((s_d > dip_threshold) & (F.col("d_max") < 0))
+        | ((s_d > dip_fence) & (F.col("d_max") < 0))
     score = F.greatest(s_a, s_s, s_d)
     out = _flags_select(j2, "extrema_ensemble", flag, score)
     if "gap_filled" in rollup.columns:

@@ -8,11 +8,14 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "tstoken", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     """Arrow-enabled, AQE-enabled session.
 
     On a real cluster these settings ride through spark-submit --conf;
     in the sandbox we default to local[$SPARK_GRAFT_CPUS].
+    `extra_conf` entries are applied last (e.g. event-log capture for
+    the BENCH task-balance harnesses).
     """
     # make the tstoken package importable in executor Python workers
     # (spark-submit --py-files equivalent for local mode)
@@ -50,4 +53,6 @@ def get_spark(app_name: str = "tstoken", master: str | None = None,
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

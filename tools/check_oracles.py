@@ -89,9 +89,15 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    only = [a for a in args if not os.path.isdir(a)]
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -125,6 +131,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -133,25 +140,43 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "FAIL",
+                            "err": f"spark: {str(e)[:300]}"}
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
+        spark_wall = round(time.time() - t0, 2)
         if name not in oracles:
+            record[name] = {"status": "rows_only", "rows": len(sdf),
+                            "spark_sec": spark_wall}
             print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) "
                   f"[rows-only]")
             continue
+        t1 = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "FAIL",
+                            "err": f"duckdb: {str(e)[:300]}"}
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         diff = compare(sdf, odf)
+        rec = {"rows": len(sdf), "spark_sec": spark_wall,
+               "oracle_sec": round(time.time() - t1, 2)}
         if diff:
             failures.append(name)
+            record[name] = {"status": "FAIL", "err": diff, **rec}
             print(f"FAIL  {name}: {diff} ({time.time()-t0:.1f}s)")
         else:
+            record[name] = {"status": "OK", **rec}
             print(f"OK    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "failures": failures,
+                        "queries": record}, f, indent=1)
     print("\n%d failures" % len(failures), failures or "")
     sys.exit(1 if failures else 0)
 
