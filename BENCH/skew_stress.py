@@ -74,7 +74,7 @@ spark.stop()
 """
 
 STAGE = r"""
-import sys
+import json, sys
 sys.path.insert(0, {src!r})
 from pyspark.sql import functions as F
 from tstoken.session import get_spark
