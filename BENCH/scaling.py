@@ -250,13 +250,34 @@ def render_holdout_f1() -> str:
                   for n in ad_vals}
         worst_n = min(deltas, key=deltas.get)
         best_n = max(deltas, key=deltas.get)
+        # parameters come from the code, not hard-coded prose
+        src = os.path.join(REPO, "src")
+        if src not in sys.path:
+            sys.path.insert(0, src)
+        from tstoken.detect import extrema_ensemble_flags as _eef
+        import inspect
+        sig = inspect.signature(_eef)
+        low = sig.parameters["adaptive_dip_low"].default
+        dmax = sig.parameters["adaptive_dip_max_density"].default
+        train_delta = deltas.get("train(seed0)")
+        held = {n: d for n, d in deltas.items() if n != "train(seed0)"}
+        verdict = (
+            "it does NOT generalize — the train gain does not carry to "
+            "the held-out regimes, so the frozen default remains the "
+            "recommended configuration"
+            if train_delta is not None and train_delta > 0
+            and min(held.values()) < -0.02 else
+            "held-out movement is within the frozen default's own "
+            "seed-to-seed band")
         adaptive_line = (
-            f" The opt-in `adaptive_dip=True` column (dip fence 5.0 on "
-            f"sources with median docs/bucket <= 3; parameters chosen "
-            f"on the training regime only, library default unchanged) "
-            f"moves F1 by [{deltas[worst_n]:+.4f} on {worst_n}, "
-            f"{deltas[best_n]:+.4f} on {best_n}] vs the frozen "
-            f"default.")
+            f" The opt-in `adaptive_dip=True` column (dip fence {low} "
+            f"on sources with median docs/bucket <= {dmax:g}; "
+            f"grid-tuned on the training regime ONLY, "
+            f"`BENCH/adaptive_probe.json`; library default unchanged) "
+            f"moves F1 by {train_delta:+.4f} on train and "
+            f"[{deltas[worst_n]:+.4f} on {worst_n}, "
+            f"{deltas[best_n]:+.4f} on {best_n}] overall vs the frozen "
+            f"default: {verdict}.")
     return f"""
 
 ## Held-out anomaly-flag F1 (thresholds frozen)
@@ -383,6 +404,158 @@ stays published for transparency.
 """
 
 
+def render_skew_stress() -> str:
+    """Adversarial-skew section from BENCH/skew_stress.json (written by
+    BENCH/skew_stress.py). Empty string when the harness hasn't run."""
+    path = os.path.join(REPO, "BENCH", "skew_stress.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        s = json.load(f)
+    t, r, c = s["tables"], s["runs"], s["criteria"]
+    rows = []
+    for name in ("balanced", "balanced_unsalted", "skew90",
+                 "hotminute_salted", "hotminute_unsalted"):
+        run = r[name]
+        sp = run.get("spread", {})
+        rows.append(
+            f"| {name} | {run['wall_sec']} | {run['rows_per_sec']:,.0f} "
+            f"| {sp.get('task_sec_median', 'n/a')} "
+            f"| {sp.get('task_sec_max', 'n/a')} "
+            f"| {sp.get('max_over_median', 'n/a')} |")
+    table = "\n".join(rows)
+    skew_line = (
+        f"the 90%-one-source table holds {c['skew90_rps_over_balanced']:.0%} "
+        f"of balanced raw-row throughput on the same input volume "
+        f"({'within' if c['skew90_within_20pct'] else 'OUTSIDE'} the 20% "
+        f"criterion), with dominant-stage task max/median "
+        f"{c['skew90_spread']} vs {c['balanced_spread']} balanced")
+    hot = c["hotminute_salted_over_unsalted"]
+    hot_line = (
+        f"the salted run costs {hot}x the unsalted wall "
+        f"(task max/median {c['hotminute_spread_salted']} salted vs "
+        f"{c['hotminute_spread_unsalted']} unsalted)")
+    salt_ov = c["salt_overhead_balanced_paired"]
+    ab = s.get("ab_balanced", {})
+    n_pairs = len(ab.get("pairs", []))
+    # campaign-to-campaign noise band, from the data: per-arm minima
+    # across campaigns (min of each campaign's post-first walls)
+    bands = []
+    for name, run in r.items():
+        cws = run.get("campaign_walls")
+        if cws and len(cws) > 1:
+            minima = [min(wl[1:] if len(wl) > 1 else wl) for wl in cws]
+            bands.append(max(minima) / min(minima))
+    noise_line = (
+        f"re-measured arms saw campaign-minimum swings up to "
+        f"{max(bands):.1f}x on this shared-host VM, so cross-campaign "
+        f"wall RATIOS between different arms are unresolvable below "
+        f"that band; the paired A/B below is the noise-robust "
+        f"estimator" if bands else
+        "single campaign per arm — no cross-campaign band measured")
+    worst = max(salt_ov, hot)
+    if worst <= 1.10:
+        salt_verdict = (
+            f"at a worst measured cost of {worst}x the default stays "
+            f"n_salts=16 — the failure mode it guards against (a future "
+            f"non-associative measure pinning a reducer) is catastrophic "
+            f"at 100 TB and the insurance is near-free.")
+    else:
+        salt_verdict = (
+            f"the worst measured cost is {worst}x, which is NOT free — "
+            f"see the accompanying analysis for whether the default "
+            f"n_salts should drop.")
+    return f"""
+
+## Adversarial skew stress (salted rollup, measured)
+
+The north rule claims "salted repartitioning by source" handles skewed
+key cardinalities; through round 4 that was asserted by design, never
+measured adversarially. `BENCH/skew_stress.py` stages three
+{s['rows']:,}-row-class tables (balanced zipf 1.2; `skew90` with
+{t['skew90'].get('top_share', 'n/a')} of all rows in ONE source of 16;
+`hotminute` with 90% of {s['hotminute_rows']:,} docs concentrated onto
+~9 minute buckets of one source — hundreds of millions of exploded
+token rows behind ~9 (source, bucket) keys) and runs the 1m rollup
+fresh-process over each (wall = min of iterations 2+; spreads parsed
+from Spark event logs scoped to the best iteration's time window —
+the direct task-balance measurement). `_unsalted` arms run the same
+engine with `n_salts=1`, i.e. a plain groupBy(source, bucket); salted
+arms use the shipped default `n_salts=16`. Throughput is raw input
+rows/s — tables of equal row count produce different output-key
+counts, so rolled-points/s is not comparable across tables:
+
+| run | wall (s) | raw rows/s | dominant-stage task median (s) | max (s) | max/median |
+|---|---|---|---|---|---|
+{table}
+
+Walls are pooled minima over {s.get('campaigns', 1)} campaign(s);
+{noise_line}.
+
+Reading (all numbers from `skew_stress.json`): {skew_line}.
+On the pathological hot-minute table {hot_line}; on the balanced
+table the default salting costs **{salt_ov}x** by the paired
+in-one-JVM A/B (median of {n_pairs} alternating salted/unsalted
+iteration pairs — host noise cancels within a pair). The
+mechanism behind both: Spark's hash aggregation already performs
+partial (map-side) aggregation BEFORE the exchange, so for this
+engine's purely associative rollup measures the shuffle carries only
+per-(key, input-partition) partials — key skew never concentrates raw
+rows onto one reducer, with or without salt. Salting therefore buys
+insurance for non-algebraic extensions (exact per-key percentiles,
+collect-based measures, high-cardinality groups that overflow the
+map-side hash) at the measured overhead above; {salt_verdict}
+"""
+
+
+def render_bigsf() -> str:
+    """Large-SF contract + bench section from BENCH/bigsf_contract.json
+    (tools/check_oracles.py --json) and BENCH/bench_sf1.json (bench.py
+    at the synthesized sf1-scale dir). Empty until both exist."""
+    cpath = os.path.join(REPO, "BENCH", "bigsf_contract.json")
+    bpath = os.path.join(REPO, "BENCH", "bench_sf1.json")
+    if not (os.path.exists(cpath) and os.path.exists(bpath)):
+        return ""
+    with open(cpath) as f:
+        c = json.load(f)
+    with open(bpath) as f:
+        b = json.load(f)
+    qs = c["queries"]
+    n_ok = sum(1 for q in qs.values() if q["status"] == "OK")
+    n_rows_only = sum(1 for q in qs.values() if q["status"] == "rows_only")
+    n_fail = len(c["failures"])
+    slowest = sorted(((q.get("spark_sec") or 0, n) for n, q in qs.items()),
+                     reverse=True)[:5]
+    slow_line = ", ".join(f"`{n}` {w}s" for w, n in slowest)
+    fail_line = ("zero failures" if n_fail == 0 else
+                 f"**{n_fail} FAILURES: {c['failures']}**")
+    bench_rows = "\n".join(
+        f"| {name} | {sec} |" for name, sec in sorted(
+            b["queries"].items(), key=lambda kv: -kv[1]))
+    return f"""
+
+## Full contract at sf1 scale (synthesized)
+
+Through round 4 the dedup/ANN/text contract queries had never run
+above sf0.1 — and they are the superlinear ones (banding, shingling,
+pair materialization). `/root/testdata` is read-only, so
+`tools/make_bigsf.py` synthesizes a driver-schema sf1-scale dir
+(seeded, vocab drawn from the real sf0.1 documents, ~1% planted exact
+dups / ~1% near-dups / 100 near-identical embedding pairs) and the
+full oracle gate ran over it: **{n_ok} oracle-green, {n_rows_only}
+rows-only, {fail_line}** over {c['sf_dir']}
+(`BENCH/bigsf_contract.json`; DuckDB runs the same SQL on the same
+parquet). Slowest Spark sides: {slow_line}.
+
+`bench.py` at the same dir (local[{b.get('cpus', 32)}],
+`BENCH/bench_sf1.json`): **total {b['value']}s**.
+
+| query | wall (s) |
+|---|---|
+{bench_rows}
+"""
+
+
 def render_md(summary: dict) -> str:
     rows = ["| level | best wall (s) | all iterations (s) | rolled points/s | raw rows/s |",
             "|---|---|---|---|---|"]
@@ -493,7 +666,8 @@ threads of a `local[k]` master share ONE memory subsystem and ONE JVM
 heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
-""" + render_holdout_f1() + render_pipeline_pin() + render_cold_note()
+""" + render_holdout_f1() + render_pipeline_pin() + render_cold_note() \
+        + render_skew_stress() + render_bigsf()
 
 
 def recompute_verdicts(summary: dict) -> dict:

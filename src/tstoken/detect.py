@@ -195,7 +195,7 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
                            spike_threshold: float = 3.5,
                            dip_threshold: float = 8.0,
                            adaptive_dip: bool = False,
-                           adaptive_dip_low: float = 5.0,
+                           adaptive_dip_low: float = 7.0,
                            adaptive_dip_max_density: float = 3.0
                            ) -> DataFrame:
     """Engine-native ensemble over the rollup's order-statistic columns
@@ -238,8 +238,11 @@ def extrema_ensemble_flags(rollup: DataFrame, half_window: int = 30,
     regime. Dense sources keep the deep threshold (their tight MAD
     makes even weak dips score high, and the long single-doc low tail
     the deep fence guards against lives in MID-density sources).
-    Adaptive parameters were chosen a priori + sanity-checked on the
-    seed-0 TRAINING regime only; held-out scores in
+    Adaptive parameters were grid-tuned on the seed-0 TRAINING regime
+    only (BENCH/adaptive_probe.py: low 7.0 / density 3.0 -> train F1
+    0.8438 vs 0.8387 frozen, recall +3.4pt at precision 0.911; the
+    a-priori low=5.0 flooded false positives, train F1 0.57 — kept in
+    the probe table as the cautionary row); held-out scores in
     BENCH/holdout_f1.json.
     """
     ng = rollup

@@ -196,8 +196,12 @@ class TestMultimodal:
     def test_codec_stubs_marked(self):
         from tstoken.multimodal import (decode_audio, decode_image,
                                         sample_video_frames)
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff")             # JPEG
+        # round 5: JPEG/PNG are now REAL decoders (tstoken.imagecodec);
+        # a truncated JPEG is malformed data -> ValueError, and only
+        # in-spec variants outside scope stay NotImplementedError
+        # (progressive JPEG / 16-bit PNG, pinned in test_imagecodec).
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff")             # truncated JPEG
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3\x03tag")               # MP3
         with pytest.raises(NotImplementedError):

@@ -1,0 +1,300 @@
+"""Pure-NumPy PNG/JPEG codec tests (round 5).
+
+Strategy: (a) PNG round-trips exactly against the repo's own encoder
+(`plotting.png_encode`, filter 0) plus hand-filtered scanlines for
+filters 1-4 and every supported color type; (b) JPEG is pinned by a
+HAND-CONSTRUCTED bitstream derived from ITU-T T.81 constants — a
+shared encoder/decoder misunderstanding (wrong zigzag, wrong Huffman
+canonicalization, wrong EXTEND) cannot cancel out against it — plus
+encoder round-trips with error bounds; (c) the error contract
+(ValueError for malformed, NotImplementedError for out-of-scope
+in-spec variants) that `multimodal._featurize` relies on."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tstoken.imagecodec import (_HUFF_AC_CHROMA, _HUFF_AC_LUMA,
+                                _HUFF_DC_CHROMA, _HUFF_DC_LUMA, _Q_LUMA,
+                                _ZIGZAG, _build_canonical, jpeg_decode,
+                                jpeg_encode, png_decode)
+from tstoken.multimodal import decode_image, image_feature
+from tstoken.plotting import png_encode
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _make_png(img: np.ndarray, color: int, filters: list[int],
+              plte: bytes = b"", depth: int = 8,
+              interlace: int = 0) -> bytes:
+    """Reference PNG writer: applies the requested filter per scanline
+    FORWARD (so png_decode must invert it)."""
+    h = img.shape[0]
+    flat = img.reshape(h, -1).astype(np.int32)
+    ch = flat.shape[1] // img.shape[1]
+    raw = bytearray()
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line, rec = flat[y], flat[y]
+        if f == 0:
+            out = line
+        elif f == 1:
+            a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            out = (line - a) % 256
+        elif f == 2:
+            out = (line - prev) % 256
+        elif f == 3:
+            a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            out = (line - (a + prev) // 2) % 256
+        else:  # Paeth
+            a = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            out = (line - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", img.shape[1], h, depth, color, 0, 0,
+                       interlace)
+    chunks = _chunk(b"IHDR", ihdr)
+    if plte:
+        chunks += _chunk(b"PLTE", plte)
+    chunks += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    chunks += _chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
+class TestPngDecode:
+    def test_roundtrip_against_repo_encoder(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+    @pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4],
+                                         [0, 1, 2, 3, 4]])
+    def test_all_filters_rgb(self, filters):
+        rng = np.random.default_rng(sum(filters))
+        img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+        assert np.array_equal(
+            png_decode(_make_png(img, 2, filters)), img)
+
+    def test_gray(self):
+        img = (np.add.outer(np.arange(12), np.arange(17)) % 256) \
+            .astype(np.uint8)
+        assert np.array_equal(png_decode(_make_png(img, 0, [1, 4])), img)
+
+    def test_palette(self):
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 4, (8, 8), dtype=np.uint8)
+        plte = bytes(range(12))  # 4 RGB entries
+        dec = png_decode(_make_png(idx, 3, [0], plte=plte))
+        pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
+        assert np.array_equal(dec, pal[idx])
+
+    def test_rgba_and_gray_alpha(self):
+        rng = np.random.default_rng(5)
+        rgba = rng.integers(0, 256, (6, 7, 4), dtype=np.uint8)
+        assert np.array_equal(png_decode(_make_png(rgba, 6, [2])), rgba)
+        ga = rng.integers(0, 256, (6, 7, 2), dtype=np.uint8)
+        dec = png_decode(_make_png(ga, 4, [1]))
+        assert dec.shape == (6, 7, 4)
+        assert np.array_equal(dec[..., 0], ga[..., 0])  # gray -> RGB
+        assert np.array_equal(dec[..., 3], ga[..., 1])  # alpha kept
+
+    def test_crc_mismatch_raises(self):
+        img = np.zeros((4, 4, 3), np.uint8)
+        b = bytearray(png_encode(img))
+        b[-5] ^= 0xFF  # corrupt IEND CRC region / IDAT tail
+        with pytest.raises(ValueError):
+            png_decode(bytes(b))
+
+    def test_out_of_scope_variants_raise_notimplemented(self):
+        img = np.zeros((4, 4), np.uint8)
+        with pytest.raises(NotImplementedError):
+            png_decode(_make_png(img, 0, [0], interlace=1))
+        with pytest.raises(NotImplementedError):
+            png_decode(_make_png(img, 0, [0], depth=16))
+
+    def test_truncated_raises_valueerror(self):
+        payload = png_encode(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(ValueError):
+            png_decode(payload[:40])
+
+
+def _seg(m: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+
+def _minimal_gray_jpeg(entropy: bytes, w: int = 8, h: int = 8,
+                       dri: int = 0) -> bytes:
+    """Single-component baseline JPEG from T.81 Annex K constants."""
+    qz = _Q_LUMA[_ZIGZAG]
+    parts = [b"\xff\xd8",
+             _seg(0xDB, bytes([0]) + bytes(int(v) for v in qz)),
+             _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0])),
+             _seg(0xC4, bytes([0x00]) + bytes(_HUFF_DC_LUMA[0])
+                  + bytes(_HUFF_DC_LUMA[1])),
+             _seg(0xC4, bytes([0x10]) + bytes(_HUFF_AC_LUMA[0])
+                  + bytes(_HUFF_AC_LUMA[1]))]
+    if dri:
+        parts.append(_seg(0xDD, struct.pack(">H", dri)))
+    parts.append(_seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00"))
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+class TestJpegDecodeSpecFixture:
+    """Hand-assembled bitstreams — independent of jpeg_encode."""
+
+    def test_dc_only_block(self):
+        # DC category 3 = code '100' (canonical Annex K DC-luma),
+        # magnitude bits '100' = +4; EOB = '1010'; pad with 1s.
+        # Stored DC 4 x q0 16 = 64; IDCT of DC-only block is flat
+        # 64/8 = 8; +128 level shift = 136 everywhere.
+        img = jpeg_decode(_minimal_gray_jpeg(bytes([0b10010010,
+                                                    0b10111111])))
+        assert img.shape == (8, 8)
+        assert img.min() == img.max() == 136
+
+    def test_negative_dc_extend(self):
+        # category 3, bits '011' = EXTEND -> -4: flat 128 - 8 = 120
+        img = jpeg_decode(_minimal_gray_jpeg(bytes([0b10001110,
+                                                    0b10111111])))
+        assert img.min() == img.max() == 120
+
+    def test_restart_marker_resets_dc_predictor(self):
+        # two MCUs (16x8), DRI=1, RST0 between; both code diff +4.
+        # With the predictor reset both blocks are 136; without the
+        # reset the second would be 128 + (4+4)*16/8 = 144.
+        mcu = bytes([0b10010010, 0b10111111])
+        entropy = mcu + b"\xff\xd0" + mcu
+        img = jpeg_decode(_minimal_gray_jpeg(entropy, w=16, dri=1))
+        assert img.shape == (8, 16)
+        assert img.min() == img.max() == 136
+
+    def test_ac_coefficient_and_zigzag(self):
+        # DC cat 0 ('00'), then AC (run 0, size 1): luma-AC symbol
+        # 0x01 = code '00', magnitude bit '1' = +1 at ZIGZAG pos 1 =
+        # natural (0,1); q[zig 1] = 11. EOB '1010'. The top row varies
+        # as 128 + 11 * A[1,x] * (1/sqrt 8), constant down columns.
+        img = jpeg_decode(_minimal_gray_jpeg(bytes([0b00001101,
+                                                    0b00111111])))
+        a1 = 0.5 * np.cos((2 * np.arange(8) + 1) * np.pi / 16)
+        expect = np.clip(np.round(128 + 11 * a1 / np.sqrt(8) + 0), 0, 255)
+        assert np.array_equal(img, np.tile(expect, (8, 1)))
+
+    def test_chroma_subsampling_420(self):
+        # 4:2:0 flat-color 16x16: Y DC +4 in the first of four Y
+        # blocks (then three diff-0), Cb/Cr DC 0 -> uniform gray 136.
+        enc_dc = {v: k for k, v in
+                  _build_canonical(*_HUFF_DC_LUMA).items()}
+        enc_dcc = {v: k for k, v in
+                   _build_canonical(*_HUFF_DC_CHROMA).items()}
+        enc_acc = {v: k for k, v in
+                   _build_canonical(*_HUFF_AC_CHROMA).items()}
+
+        def code(table, sym):
+            ln, c = table[sym]
+            return format(c, f"0{ln}b")
+
+        # each block is DC followed by its ACs (EOB here); MCU order:
+        # Y1 Y2 Y3 Y4 Cb Cr
+        bits = code(enc_dc, 3) + "100" + "1010"          # Y1: +4, EOB
+        for _ in range(3):                               # Y2-4: diff 0
+            bits += code(enc_dc, 0) + "1010"
+        for _ in range(2):                               # Cb, Cr: 0
+            bits += code(enc_dcc, 0) + code(enc_acc, 0x00)
+        bits += "1" * (-len(bits) % 8)
+        entropy = bytes(int(bits[i:i + 8], 2)
+                        for i in range(0, len(bits), 8))
+        qz = bytes(int(v) for v in _Q_LUMA[_ZIGZAG])
+        parts = [b"\xff\xd8",
+                 _seg(0xDB, bytes([0]) + qz),
+                 _seg(0xDB, bytes([1]) + qz),
+                 _seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 3)
+                      + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),
+                 _seg(0xC4, bytes([0x00]) + bytes(_HUFF_DC_LUMA[0])
+                      + bytes(_HUFF_DC_LUMA[1])),
+                 _seg(0xC4, bytes([0x10]) + bytes(_HUFF_AC_LUMA[0])
+                      + bytes(_HUFF_AC_LUMA[1])),
+                 _seg(0xC4, bytes([0x01]) + bytes(_HUFF_DC_CHROMA[0])
+                      + bytes(_HUFF_DC_CHROMA[1])),
+                 _seg(0xC4, bytes([0x11]) + bytes(_HUFF_AC_CHROMA[0])
+                      + bytes(_HUFF_AC_CHROMA[1])),
+                 _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+                      + b"\x00\x3f\x00"),
+                 entropy, b"\xff\xd9"]
+        img = jpeg_decode(b"".join(parts))
+        assert img.shape == (16, 16, 3)
+        assert img.min() == img.max() == 136
+
+    def test_progressive_raises_notimplemented(self):
+        payload = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(bytes(payload))
+
+    def test_truncated_raises(self):
+        payload = jpeg_encode(np.zeros((16, 16), np.uint8))
+        with pytest.raises((ValueError, IndexError)):
+            jpeg_decode(payload[:40])
+
+
+class TestJpegRoundtrip:
+    def test_gray_quality_bound(self):
+        rng = np.random.default_rng(11)
+        g = np.clip(np.add.outer(np.arange(40) * 3, np.arange(48) * 2)
+                    % 256 + rng.normal(0, 8, (40, 48)), 0, 255) \
+            .astype(np.uint8)
+        d = jpeg_decode(jpeg_encode(g, quality=95))
+        assert d.shape == g.shape
+        assert np.abs(d.astype(float) - g.astype(float)).mean() < 3.0
+
+    def test_rgb_quality_bound_nonmultiple_of_8(self):
+        rng = np.random.default_rng(13)
+        c = rng.integers(0, 256, (25, 31, 3)).astype(float)
+        for _ in range(3):  # smooth: JPEG is for natural images
+            c[1:-1, 1:-1] = (c[:-2, 1:-1] + c[2:, 1:-1] + c[1:-1, :-2]
+                             + c[1:-1, 2:] + c[1:-1, 1:-1]) / 5
+        c = c.astype(np.uint8)
+        d = jpeg_decode(jpeg_encode(c, quality=92))
+        assert d.shape == c.shape
+        assert np.abs(d.astype(float) - c.astype(float)).mean() < 6.0
+
+    def test_quality_monotone(self):
+        rng = np.random.default_rng(17)
+        g = np.clip(rng.normal(128, 30, (32, 32)), 0, 255) \
+            .astype(np.uint8)
+        errs = [np.abs(jpeg_decode(jpeg_encode(g, quality=q))
+                       .astype(float) - g).mean()
+                for q in (30, 60, 90)]
+        assert errs[0] >= errs[1] >= errs[2]
+
+
+class TestMultimodalDispatch:
+    def test_decode_image_png_and_jpeg(self):
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(png_encode(img)), img)
+        d = decode_image(jpeg_encode(img, quality=90))
+        assert d.shape == img.shape
+
+    def test_image_feature_on_compressed_payloads(self):
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+        f_png = image_feature(png_encode(img))
+        assert f_png.shape == (32,) and np.isfinite(f_png).all()
+        f_jpg = image_feature(jpeg_encode(img, quality=95))
+        assert f_jpg.shape == (32,) and np.isfinite(f_jpg).all()
