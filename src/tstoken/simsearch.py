@@ -44,7 +44,11 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    cross = emb.crossJoin(F.broadcast(queries)) \
+    # spread the corpus scan over the cluster: a small corpus parquet
+    # is often ONE file, and a 1-partition broadcast-join pins the
+    # whole O(n*q) scoring on a single task
+    par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
+    cross = emb.repartition(par).crossJoin(F.broadcast(queries)) \
                .filter(F.col("vec_id") != F.col("qid"))
     scored = with_cosine(cross)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
@@ -209,7 +213,11 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
         pairs = (cand.dropDuplicates(["id_a", "id_b"])
                  .join(a, "id_a").join(b, "id_b"))
     else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # quadratic baseline: spread the stream side over the cluster
+        # first — a small corpus parquet is often ONE file, and a
+        # 1-partition BNLJ pins the whole O(n^2) scoring on one task
+        par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
+        pairs = a.repartition(par).join(b, F.col("id_a") < F.col("id_b"))
     scored = with_cosine(pairs, a_col="va", b_col="vb")
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
