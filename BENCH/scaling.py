@@ -508,6 +508,50 @@ map-side hash) at the measured overhead above; {salt_verdict}
 """
 
 
+def render_headline() -> str:
+    """Pooled headline-suite pin from BENCH/headline_r5.json
+    (written by BENCH/headline_pin.py). Empty until it exists."""
+    path = os.path.join(REPO, "BENCH", "headline_r5.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        s = json.load(f)
+    q = s["pooled_query_min_sec"]
+    rows = "\n".join(f"| {name} | {sec} |"
+                     for name, sec in q.items())
+    loads = ", ".join(str(c["_pre_loadavg_1m"]) for c in s["campaigns"])
+    return f"""
+
+## Headline suite pooled pin (round 5, post-spread)
+
+Round 5 root-caused the doc_* query cost: a small single-file parquet
+corpus scans as ONE split, so every per-row text expression (shingle
+hashing, regexes, higher-order functions) ran on one thread until the
+first exchange. The adaptive spread (`textops._spread` — project to
+needed columns, repartition only when the scan has fewer splits than
+cores; self-disabling at cluster scale) fixed it:
+`doc_minhash_pairs` 8.2-9.0 s (r3/r4 steady state) -> **{q.get('doc_minhash_pairs')} s**,
+`doc_ngram_jaccard` 1.4-1.6 s -> {q.get('doc_ngram_jaccard')} s,
+`doc_quality` 0.82 s -> {q.get('doc_quality')} s; with the round-5
+stream-side repartition of the exact-baseline cosine join,
+`emb_cosine_topk` 1.4-1.5 s -> {q.get('emb_cosine_topk')} s.
+
+Pooled per-query minima over {s['n_campaigns']} fresh-process
+campaigns at git {s['git_head']} (pre-campaign 1-min loadavg per
+campaign: {loads}; every campaign's full bench line is kept in
+`headline_r5.json`):
+
+| query | pooled min wall (s) |
+|---|---|
+{rows}
+
+Pooled total **{s['pooled_total_sec']} s** (best single campaign
+{s['best_campaign_total_sec']} s; r3 steady state was 34.3 s, r4
+driver-run 38.5 s). Best rolled-points/s across campaigns:
+**{s['best_rolled_points_per_sec']:,.0f}** (bar: >= 25,000).
+"""
+
+
 def render_bigsf() -> str:
     """Large-SF contract + bench section from BENCH/bigsf_contract.json
     (tools/check_oracles.py --json) and BENCH/bench_sf1.json (bench.py
@@ -667,7 +711,7 @@ heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
 """ + render_holdout_f1() + render_pipeline_pin() + render_cold_note() \
-        + render_skew_stress() + render_bigsf()
+        + render_skew_stress() + render_headline() + render_bigsf()
 
 
 def recompute_verdicts(summary: dict) -> dict:

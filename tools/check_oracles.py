@@ -114,12 +114,19 @@ def main():
         os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     else:
         os.environ.pop("PYTHONPATH", None)
-    spark = (SparkSession.builder.appName("check_oracles")
-             .master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    builder = (SparkSession.builder.appName("check_oracles")
+               .master("local[8]")
+               .config("spark.sql.shuffle.partitions", "8")
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.ui.enabled", "false"))
+    # default stays the vanilla 1g heap the driver uses at sf0.01; the
+    # synthesized large-sf gate (tools/make_bigsf.py) needs more — the
+    # exact-baseline BNLJ queries at 50k docs / 8k embeddings die in
+    # GC-locker thrash on a 1g driver (observed round 5)
+    mem = os.environ.get("CHECK_ORACLES_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -132,9 +139,23 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     record: dict[str, dict] = {}
+
+    def _flush(partial: bool) -> None:
+        # incremental checkpoint: a driver OOM/GC death mid-gate (seen
+        # at the synthesized large sf) must not discard completed rows
+        if not json_out:
+            return
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "failures": failures,
+                        "queries": record, "partial": partial},
+                       f, indent=1)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _flush(partial=True)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -171,12 +192,7 @@ def main():
             record[name] = {"status": "OK", **rec}
             print(f"OK    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
-    if json_out:
-        import json as _json
-
-        with open(json_out, "w") as f:
-            _json.dump({"sf_dir": sf_dir, "failures": failures,
-                        "queries": record}, f, indent=1)
+    _flush(partial=False)
     print("\n%d failures" % len(failures), failures or "")
     sys.exit(1 if failures else 0)
 
