@@ -874,18 +874,24 @@ pos AS (SELECT doc_id, t,
                unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
         FROM d),
 sh AS (SELECT doc_id, substr(t, i, 5) AS s FROM pos),
-h AS (SELECT doc_id,
+h AS (SELECT DISTINCT doc_id,
              ((('0x' || substr(md5(s), 1, 15))::UBIGINT
                % 2147483647)::BIGINT) AS h
       FROM sh),
-slots AS (
-  SELECT doc_id, j.j AS j,
-         min(((2 * j.j + 1 + 104729) * h
-              + ((j.j * 7919 + 13) % 2147483647)) % 2147483647) AS m
-  FROM h CROSS JOIN range(63) j(j)
-  GROUP BY doc_id, j.j),
-sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig
-         FROM slots GROUP BY doc_id),
+-- per-doc distinct-hash lists, then each of the 63 min-slots as a
+-- list fold: min over a universal hash is duplicate-insensitive, so
+-- this equals the row-expanded min(...(2j+1+104729)h+b_j...) GROUP BY
+-- (doc_id, j) formulation exactly — without materializing the
+-- |shingles| x 63 row expansion (~10^9 rows at the 50k-doc gate,
+-- which exhausted an 80 GB spill disk; round-5)
+hl AS (SELECT doc_id, list(h) AS hs FROM h GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(63), j ->
+           list_min(list_transform(hs, x ->
+             ((2 * j + 1 + 104729) * x
+              + ((j * 7919 + 13) % 2147483647)) % 2147483647))) AS sig
+  FROM hl),
 bandrows AS (
   SELECT doc_id, b.b AS band,
          [sig[3 * b.b + 1], sig[3 * b.b + 2], sig[3 * b.b + 3]] AS key
@@ -895,11 +901,17 @@ cand AS (
   FROM bandrows a JOIN bandrows b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
 surv AS (
+  -- agreement as a pure list expression, NOT a correlated subquery:
+  -- DuckDB executes a per-row subquery over range(63) as a lateral
+  -- unnest — |candidates| x 63 rows, ~10^10 at the 50k-doc gate's
+  -- 154M dense-corpus candidates (64 GB of spill before the disk
+  -- filled; round-5). The list form streams row-at-a-time.
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
               JOIN sigs sb ON sb.doc_id = c.doc_b
-  WHERE (SELECT count(*) FROM range(63) t(k)
-         WHERE sa.sig[t.k + 1] = sb.sig[t.k + 1]) / 63.0 >= 0.35),
+  WHERE list_sum(list_transform(range(63), k ->
+          CASE WHEN sa.sig[k + 1] = sb.sig[k + 1]
+               THEN 1 ELSE 0 END)) / 63.0 >= 0.35),
 wsets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
 v AS (
   SELECT s.doc_a, s.doc_b,

@@ -17,21 +17,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a, b) -> F.Column:
+def _dot(a, b, dim: int | None = None) -> F.Column:
+    """Dot product of two array columns.
+
+    With dim (the statically-known vector width): a fixed-width
+    expression chain with the SAME left-fold order as the aggregate
+    below (0.0 + a0*b0 + a1*b1 + ...), so results are bit-identical —
+    but it stays inside whole-stage codegen, where zip_with/aggregate
+    are interpreted HigherOrderFunctions (they dominated pair-scoring
+    walls at the round-5 large-sf gate: emb_neardup_sized 118 s,
+    emb_lsh_topk 54 s at 8k x 64 on local[8]). A size guard nulls the
+    result when either side's length differs from dim, matching
+    zip_with's null-padding for every uniform-width input (the only
+    divergence is a corpus mixing SEVERAL widths, where len(a)==len(b)
+    != dim used to score real — mixed-width corpora are already
+    documented as unsupported, see infer_dim).
+
+    Without dim: the general interpreted fold (arbitrary widths)."""
+    if dim:
+        expr = F.lit(0.0)
+        for i in range(dim):
+            expr = expr + a.getItem(i) * b.getItem(i)
+        return F.when((F.size(a) == dim) & (F.size(b) == dim), expr)
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm(a) -> F.Column:
+def _norm(a, dim: int | None = None) -> F.Column:
+    if dim:
+        expr = F.lit(0.0)
+        for i in range(dim):
+            expr = expr + a.getItem(i) * a.getItem(i)
+        return F.sqrt(F.when(F.size(a) == dim, expr))
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
 def with_cosine(pairs: DataFrame, a_col: str = "qvec",
-                b_col: str = "embedding") -> DataFrame:
+                b_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """Append `cosine` (rounded 6dp). Pass dim (when statically known,
+    i.e. from infer_dim) to score via the codegen chain in _dot/_norm
+    instead of interpreted higher-order folds — identical results on
+    any uniform-width corpus, same fold order."""
     a, b = F.col(a_col), F.col(b_col)
-    denom = _norm(a) * _norm(b)
-    cos = F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+    denom = _norm(a, dim) * _norm(b, dim)
+    cos = F.when(denom > 0, _dot(a, b, dim) / denom).otherwise(F.lit(0.0))
     return pairs.withColumn("cosine", F.round(cos, 6))
 
 
@@ -50,7 +81,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
     cross = emb.repartition(par).crossJoin(F.broadcast(queries)) \
                .filter(F.col("vec_id") != F.col("qid"))
-    scored = with_cosine(cross)
+    scored = with_cosine(cross, dim=_infer_dim_or_none(emb))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -218,7 +249,9 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
         # 1-partition BNLJ pins the whole O(n^2) scoring on one task
         par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
         pairs = a.repartition(par).join(b, F.col("id_a") < F.col("id_b"))
-    scored = with_cosine(pairs, a_col="va", b_col="vb")
+    if dim is None:
+        dim = _infer_dim_or_none(emb)
+    scored = with_cosine(pairs, a_col="va", b_col="vb", dim=dim)
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -237,6 +270,13 @@ def _lsh_sig_col(vec_col: str, dim: int, n_planes: int = 16,
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(v)) for v in p])
+        # interpreted fold on purpose: the codegen chain duplicates the
+        # 64-literal array child per term (getItem holds its own copy),
+        # and at 8 tables x 8 planes x 64 dims the projection exceeded
+        # the JVM's 64KB codegen method limit, fell back interpreted
+        # over a ~262k-node tree, and OOM'd the driver (round-5).
+        # Signature cost is per-ROW (linear), so the fold is fine here;
+        # the chain is reserved for per-PAIR scoring (with_cosine).
         d = _dot(F.col(vec_col), plane)
         bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i))
                      .otherwise(F.lit(0).cast("long")))
@@ -299,6 +339,8 @@ def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
     cols = []
     for c in centroids:
         plane = F.array(*[F.lit(float(v)) for v in c])
+        # fold, not chain: same 64KB-codegen-blowup reason as
+        # _lsh_sig_col above (literal-array child duplicated per term)
         cols.append(_dot(F.col(vec_col), plane) / _norm(F.col(vec_col)))
     return F.array(*cols)
 
@@ -351,7 +393,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     cand = e.join(F.broadcast(q), "ivf_cluster") \
             .filter(F.col("vec_id") != F.col("qid")) \
             .select("qid", "qvec", "vec_id", "embedding")
-    scored = with_cosine(cand)
+    scored = with_cosine(cand, dim=len(centroids[0]) if centroids else None)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -379,7 +421,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              .filter(F.col("vec_id") != F.col("qid"))
              .select("qid", "qvec", "vec_id", "embedding")
              .dropDuplicates(["qid", "vec_id"]))
-    scored = with_cosine(cands)
+    scored = with_cosine(cands, dim=dim)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

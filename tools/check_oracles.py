@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -95,6 +96,9 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
     sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
     only = [a for a in args if not os.path.isdir(a)]
@@ -130,6 +134,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Bound DuckDB so a big oracle spills to disk instead of OOM-killing
+    # the box: the minhash-md5 pipeline oracle at the synthesized large
+    # sf (50k docs) materializes ~10^9 shingle-hash rows and was
+    # observed climbing past 90 GB RSS before this limit existed.
+    dmem = os.environ.get("CHECK_ORACLES_DUCKDB_MEM", "32GB")
+    spill = os.path.join(tempfile.gettempdir(), "check_oracles_duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{dmem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -139,6 +152,18 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     record: dict[str, dict] = {}
+    if resume and json_out and os.path.exists(json_out):
+        # resume from an interrupted gate: keep completed rows, re-run
+        # only what's missing or failed (incremental _flush means a
+        # kill/OOM mid-gate loses at most the in-flight query)
+        import json as _json
+
+        with open(json_out) as f:
+            prior = _json.load(f)
+        if prior.get("sf_dir") == sf_dir:
+            record = {k: v for k, v in prior.get("queries", {}).items()
+                      if v.get("status") in ("OK", "rows_only")}
+            print(f"resuming: {len(record)} completed queries kept")
 
     def _flush(partial: bool) -> None:
         # incremental checkpoint: a driver OOM/GC death mid-gate (seen
@@ -154,6 +179,8 @@ def main():
 
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in record:
             continue
         _flush(partial=True)
         t0 = time.time()
