@@ -55,13 +55,30 @@ def _norm(a, dim: int | None = None) -> F.Column:
 
 def with_cosine(pairs: DataFrame, a_col: str = "qvec",
                 b_col: str = "embedding",
-                dim: int | None = None) -> DataFrame:
+                dim: int | None = None,
+                a_norm_col: str | None = None,
+                b_norm_col: str | None = None) -> DataFrame:
     """Append `cosine` (rounded 6dp). Pass dim (when statically known,
     i.e. from infer_dim) to score via the codegen chain in _dot/_norm
     instead of interpreted higher-order folds — identical results on
-    any uniform-width corpus, same fold order."""
+    any uniform-width corpus, same fold order.
+
+    a_norm_col/b_norm_col: names of PRE-COMPUTED norm columns (built
+    with `_norm` on the un-joined sides). Norms are per-ROW O(d) work;
+    recomputing them inside pair scoring repeats that work once per
+    PAIR. Values are identical either way (same expression over the
+    same rows, multiplied in the same order), so results are
+    bit-identical — but the WIN IS PATH-DEPENDENT, measured both ways
+    at the 8k×64 gate scale (BENCH/BASELINE.md "Norm placement"):
+    pre-norm wins on equi-join candidate plans (lsh/ivf/cosine_topk,
+    1.2–1.8× — the norm rides each row once through the shuffle) and
+    LOSES 2.7× on the BNLJ all-pairs baseline (the extra double
+    columns through the nested-loop consume cost more than the
+    redundant per-pair flops). Only pass these on equi-join plans."""
     a, b = F.col(a_col), F.col(b_col)
-    denom = _norm(a, dim) * _norm(b, dim)
+    na = F.col(a_norm_col) if a_norm_col else _norm(a, dim)
+    nb = F.col(b_norm_col) if b_norm_col else _norm(b, dim)
+    denom = na * nb
     cos = F.when(denom > 0, _dot(a, b, dim) / denom).otherwise(F.lit(0.0))
     return pairs.withColumn("cosine", F.round(cos, 6))
 
@@ -78,10 +95,15 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     # spread the corpus scan over the cluster: a small corpus parquet
     # is often ONE file, and a 1-partition broadcast-join pins the
     # whole O(n*q) scoring on a single task
+    dim = _infer_dim_or_none(emb)
     par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
-    cross = emb.repartition(par).crossJoin(F.broadcast(queries)) \
-               .filter(F.col("vec_id") != F.col("qid"))
-    scored = with_cosine(cross, dim=_infer_dim_or_none(emb))
+    # norms before the join: per-row work, not per-pair (with_cosine)
+    e = emb.withColumn("_nb", _norm(F.col("embedding"), dim))
+    q = queries.withColumn("_na", _norm(F.col("qvec"), dim))
+    cross = e.repartition(par).crossJoin(F.broadcast(q)) \
+             .filter(F.col("vec_id") != F.col("qid"))
+    scored = with_cosine(cross, dim=dim,
+                         a_norm_col="_na", b_norm_col="_nb")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -214,22 +236,22 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
         # remediation is reachable through this API
         prefilter_planes, prefilter_tables, _, _ = size_prefilter(
             threshold, target_recall, max_tables=max_tables)
+    if dim is None:
+        dim = _infer_dim_or_none(emb)
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("embedding").alias("vb"))
     if prefilter_planes > 0:
         if dim is None:
-            dim = _infer_dim_or_none(emb)
-            if dim is None:
-                # empty / all-null corpus: no pairs by definition —
-                # an empty result with the output schema, not a
-                # plan-build ValueError (the exact path returns the
-                # same for this input)
-                return (a.join(b, F.col("id_a") < F.col("id_b"))
-                        .where(F.lit(False))
-                        .select("id_a", "id_b",
-                                F.lit(0.0).alias("cosine")))
+            # empty / all-null corpus: no pairs by definition —
+            # an empty result with the output schema, not a
+            # plan-build ValueError (the exact path returns the
+            # same for this input)
+            return (a.join(b, F.col("id_a") < F.col("id_b"))
+                    .where(F.lit(False))
+                    .select("id_a", "id_b",
+                            F.lit(0.0).alias("cosine")))
         # one signature-array projection per side, single equi-join on
         # (tbl, sig) — not a union of per-table joins (one scan/side)
         sa = _multi_table_sigs(a, "va", ["id_a"], dim,
@@ -249,8 +271,13 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
         # 1-partition BNLJ pins the whole O(n^2) scoring on one task
         par = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
         pairs = a.repartition(par).join(b, F.col("id_a") < F.col("id_b"))
-    if dim is None:
-        dim = _infer_dim_or_none(emb)
+    # Norms are computed per-PAIR here, NOT pre-computed per row as in
+    # lsh/ivf/cosine_topk: on this path's BNLJ the pre-norm variant
+    # was measured 2.7x SLOWER at the 8k-corpus scale (alternating
+    # same-JVM A/B, 3 iters: per-pair [153,138,152]s vs pre-norm
+    # [373,373,376]s; full-query gate 169s vs 367s) — the extra norm
+    # columns on the broadcast/stream sides cost more through the
+    # nested-loop consume than the redundant per-pair flops save.
     scored = with_cosine(pairs, a_col="va", b_col="vb", dim=dim)
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
@@ -381,19 +408,23 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     if centroids is None:
         centroids = train_ivf_centroids(emb, "embedding",
                                         n_centroids=n_centroids)
-    e = ivf_assign(emb, "embedding", centroids)
+    dim = len(centroids[0]) if centroids else None
+    # norms before the cluster join: per-row, not per-candidate-pair
+    e = ivf_assign(emb, "embedding", centroids) \
+        .withColumn("_nb", _norm(F.col("embedding"), dim))
     qsims = _centroid_sims("qvec", centroids)
     # same lowest-cid tie-break as ivf_assign (oracle parity)
     qpairs = F.transform(
         qsims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("cid")))
     probe = F.slice(F.sort_array(qpairs, asc=True), 1, nprobe)
-    q = queries.withColumn(
-        "ivf_cluster",
-        F.explode(F.transform(probe, lambda p: p["cid"])))
+    q = queries.withColumn("_na", _norm(F.col("qvec"), dim)) \
+               .withColumn("ivf_cluster",
+                           F.explode(F.transform(probe, lambda p: p["cid"])))
     cand = e.join(F.broadcast(q), "ivf_cluster") \
             .filter(F.col("vec_id") != F.col("qid")) \
-            .select("qid", "qvec", "vec_id", "embedding")
-    scored = with_cosine(cand, dim=len(centroids[0]) if centroids else None)
+            .select("qid", "qvec", "_na", "vec_id", "embedding", "_nb")
+    scored = with_cosine(cand, dim=dim,
+                         a_norm_col="_na", b_norm_col="_nb")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -413,15 +444,20 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     union put Scan×32 / BroadcastHashJoin×16 in the plan)."""
     from pyspark.sql import Window
 
-    e = _multi_table_sigs(emb, "embedding", ["vec_id"],
-                          dim, n_planes, n_tables)
-    q = _multi_table_sigs(queries, "qvec", ["qid"],
-                          dim, n_planes, n_tables)
+    # norms ride the signature rows as extra id columns: per-row work,
+    # not per-candidate-pair (with_cosine docstring)
+    e = _multi_table_sigs(
+        emb.withColumn("_nb", _norm(F.col("embedding"), dim)),
+        "embedding", ["vec_id", "_nb"], dim, n_planes, n_tables)
+    q = _multi_table_sigs(
+        queries.withColumn("_na", _norm(F.col("qvec"), dim)),
+        "qvec", ["qid", "_na"], dim, n_planes, n_tables)
     cands = (e.join(F.broadcast(q), ["tbl", "lsh_sig"])
              .filter(F.col("vec_id") != F.col("qid"))
-             .select("qid", "qvec", "vec_id", "embedding")
+             .select("qid", "qvec", "_na", "vec_id", "embedding", "_nb")
              .dropDuplicates(["qid", "vec_id"]))
-    scored = with_cosine(cands, dim=dim)
+    scored = with_cosine(cands, dim=dim,
+                         a_norm_col="_na", b_norm_col="_nb")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

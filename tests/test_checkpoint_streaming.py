@@ -113,6 +113,95 @@ class TestStreaming:
         for c in ["n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
+    def test_late_data_dropped_and_accounted(self, spark, tmp_path):
+        """Out-of-order / late-arrival drill (SURVEY §2.10 watermark
+        semantics): feed the streaming rollup micro-batches whose event
+        times move BACKWARDS across batches. Rows later than the
+        watermark must (a) be dropped — finalized buckets keep their
+        on-time values bit-for-bat — and (b) be explicitly accounted in
+        `numRowsDroppedByWatermark`, never silently folded in.
+
+        Batch protocol (watermark = 10 minutes, append mode — a window
+        emits exactly once, when the watermark passes its end):
+          b1: minutes 0..29, one doc per minute, shuffled row order
+          b2: clock doc at minute 60   (watermark after: 29-10 = m19)
+          b3: 3 LATE docs at minutes 5/6/7 with poison n_tok=1000 +
+              clock at minute 120      (watermark after: 60-10 = m50;
+              the late rows are ~45 min older — dropped; distinct
+              minutes because numRowsDroppedByWatermark counts rows
+              reaching the STATE operator, i.e. post-partial-agg)
+          b4: clock at minute 240      (watermark at b4's trigger: 110
+              — emits minute 60; the engine's trailing no-data batch
+              then advances it to 230 and emits minute 120; only
+              minute 240 stays unfinalized)
+        """
+        import json as _json
+        import random
+
+        from tstoken.rollup import rollup_1m
+        from tstoken.streaming import streaming_rollup_1m
+        from tstoken.synth import T0_EPOCH  # noqa: F401 (doc anchor)
+
+        # src-000 ⇒ step=3s, so seq = 20*minute lands exactly on the
+        # minute boundary (rollup.py with_event_time: T0 + seq*step)
+        def doc(minute, n_tok, tag):
+            return (f"doc-{tag}-{20 * minute}", [1, 2], int(n_tok),
+                    "src-000")
+
+        schema = ("doc_id string, tokens array<int>, n_tok int, "
+                  "source string")
+        b1 = [doc(m, m + 1, f"b1x{m}") for m in range(30)]
+        random.Random(7).shuffle(b1)  # out-of-order WITHIN the batch
+        batches = [
+            b1,
+            [doc(60, 7, "clock60")],
+            [doc(5 + i, 1000, f"late{i}") for i in range(3)]
+            + [doc(120, 9, "clock120")],
+            [doc(240, 11, "clock240")],
+        ]
+
+        path = str(tmp_path / "late_src")
+        spark.createDataFrame(batches[0], schema) \
+            .write.mode("append").parquet(path)
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema).parquet(path)
+        q = (streaming_rollup_1m(stream, watermark="10 minutes")
+             .writeStream.format("memory").queryName("late_drill")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, schema) \
+                    .write.mode("append").parquet(path)
+                q.processAllAvailable()
+            dropped = sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for op in _json.loads(p.json)["stateOperators"])
+        finally:
+            q.stop()
+
+        got = spark.sql("select * from late_drill").toPandas() \
+            .sort_values("bucket_ts").reset_index(drop=True)
+
+        # (b) explicit accounting: exactly the 3 planted late rows
+        assert dropped == 3
+
+        # (a) batch parity on the ON-TIME rows: the sink holds exactly
+        # the finalized windows (minutes 0..29, 60, 120), valued as if
+        # the late rows never arrived
+        on_time = spark.createDataFrame(
+            batches[0] + [doc(60, 7, "c"), doc(120, 9, "c2")], schema)
+        want = rollup_1m(on_time).drop("sum_tok_sq", "gap_filled") \
+            .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+        assert len(got) == 32  # 0..29 + 60 + 120; 240 never finalized
+        for c in ["n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        # the poisoned minute-5 bucket kept its on-time value
+        m5 = got[got["bucket_ts"].astype("int64") // 10**9
+                 == 1704067200 + 300]
+        assert m5["sum_n_tok"].item() == 6 and m5["n_docs"].item() == 1
+
 
 class TestMultimodal:
     def test_feature_extraction_shapes(self, spark):
