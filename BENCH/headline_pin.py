@@ -56,7 +56,13 @@ def main() -> None:
             capture_output=True, text=True).stdout.strip(),
         "n_campaigns": n,
         "pooled_query_min_sec": pooled_queries,
-        "pooled_total_sec": round(sum(pooled_queries.values()), 3),
+        # exclude the cold wall: bench.py's own headline `value` does
+        # too, and the pooled total is compared against prior rounds'
+        # steady-state totals — summing cold in would inflate it by a
+        # 30-170s first-iteration wall that is measured separately
+        "pooled_total_sec": round(sum(
+            w for q, w in pooled_queries.items()
+            if q != "tok_pipeline_cold"), 3),
         "best_campaign_total_sec": min(c["value"] for c in campaigns),
         "best_rolled_points_per_sec": max(
             c["rolled_points_per_sec"] for c in campaigns),

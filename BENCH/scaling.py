@@ -552,6 +552,20 @@ driver-run 38.5 s). Best rolled-points/s across campaigns:
 """
 
 
+def render_notes() -> str:
+    """Hand-maintained evidence sections from BENCH/NOTES.md, included
+    verbatim (currently: the round-5 HEAD single-run bench note and the
+    large-sf contract-gate narrative with the codegen-cosine and
+    norm-placement A/Bs). A --render rebuilds BASELINE.md wholesale
+    from the committed JSONs; without this hook those hand sections
+    were silently dropped on regeneration."""
+    path = os.path.join(REPO, "BENCH", "NOTES.md")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return "\n\n" + f.read().rstrip() + "\n"
+
+
 def render_bigsf() -> str:
     """Large-SF contract + bench section from BENCH/bigsf_contract.json
     (tools/check_oracles.py --json) and BENCH/bench_sf1.json (bench.py
@@ -711,7 +725,8 @@ heap, so the high pair progressively measures DRAM-bandwidth and GC
 saturation that a real scale-OUT to 4N executors (4x memory channels,
 4x independent heaps) would not suffer.
 """ + render_holdout_f1() + render_pipeline_pin() + render_cold_note() \
-        + render_skew_stress() + render_headline() + render_bigsf()
+        + render_skew_stress() + render_headline() + render_notes() \
+        + render_bigsf()
 
 
 def recompute_verdicts(summary: dict) -> dict:
