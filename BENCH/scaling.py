@@ -567,10 +567,12 @@ def render_notes() -> str:
 
 
 def render_bigsf() -> str:
-    """Large-SF contract + bench section from BENCH/bigsf_contract.json
-    (tools/check_oracles.py --json) and BENCH/bench_sf1.json (bench.py
-    at the synthesized sf1-scale dir). Empty until both exist."""
-    cpath = os.path.join(REPO, "BENCH", "bigsf_contract.json")
+    """Large-SF contract + bench section from BENCH/oracle_sfbig.json
+    (tools/check_oracles.py --json over the synthesized sf1-scale dir)
+    and BENCH/bench_sf1.json (bench.py at that dir with a 20M-row
+    token table). Empty until both exist; the hand narrative of HOW
+    the gate was made survivable lives in BENCH/NOTES.md."""
+    cpath = os.path.join(REPO, "BENCH", "oracle_sfbig.json")
     bpath = os.path.join(REPO, "BENCH", "bench_sf1.json")
     if not (os.path.exists(cpath) and os.path.exists(bpath)):
         return ""
@@ -592,21 +594,25 @@ def render_bigsf() -> str:
             b["queries"].items(), key=lambda kv: -kv[1]))
     return f"""
 
-## Full contract at sf1 scale (synthesized)
+## Full contract + bench above sf0.1 (synthesized sf1-scale dir)
 
-Through round 4 the dedup/ANN/text contract queries had never run
-above sf0.1 — and they are the superlinear ones (banding, shingling,
-pair materialization). `/root/testdata` is read-only, so
-`tools/make_bigsf.py` synthesizes a driver-schema sf1-scale dir
-(seeded, vocab drawn from the real sf0.1 documents, ~1% planted exact
-dups / ~1% near-dups / 100 near-identical embedding pairs) and the
-full oracle gate ran over it: **{n_ok} oracle-green, {n_rows_only}
-rows-only, {fail_line}** over {c['sf_dir']}
-(`BENCH/bigsf_contract.json`; DuckDB runs the same SQL on the same
-parquet). Slowest Spark sides: {slow_line}.
+`/root/testdata` is read-only, so `tools/make_bigsf.py` synthesizes a
+driver-schema dir an order of magnitude above the sf0.1 gate on the
+text/embedding axes (seeded, vocab drawn from the real sf0.1
+documents, ~1% planted exact dups / ~1% near-dups / 100
+near-identical embedding pairs). The full 48-query oracle gate over
+it: **{n_ok} oracle-green, {n_rows_only} rows-only, {fail_line}**
+(`BENCH/oracle_sfbig.json`; DuckDB runs the same SQL on the same
+parquet; the survivability fixes the gate forced are narrated in the
+large-sf section above). Slowest Spark sides: {slow_line}.
 
-`bench.py` at the same dir (local[{b.get('cpus', 32)}],
-`BENCH/bench_sf1.json`): **total {b['value']}s**.
+`bench.py` at the same dir with a
+{b.get('tok_bench_rows', 0):,}-row token table (10x the sf0.1
+bench; local[{b.get('cpus', 32)}], `BENCH/bench_sf1.json`): headline
+total **{b['value']} s**, tok_pipeline {b['queries'].get(
+    'tok_pipeline')} s steady = {b.get('rolled_points_per_sec', 0):,.0f}
+rolled-points/s over {b.get('rolled_points', 0):,} points, ensemble
+F1 {b.get('anomaly_flag_f1', {}).get('ensemble')}.
 
 | query | wall (s) |
 |---|---|
