@@ -505,3 +505,62 @@ class TestStatefulStreaming:
         assert not out.iloc[:30]["is_outlier"].any()
         assert int(out["is_outlier"].sum()) <= 2
         assert out.iloc[119]["n_seen"] == 119
+
+    def test_streaming_zscore_late_bucket_scored_not_dropped(
+            self, spark, tmp_path):
+        """Out-of-order drill for the CUSTOM stateful operator — the
+        complement of the rollup watermark drill above. The Welford
+        detector keeps no watermark (state never expires), so a bucket
+        arriving batches late must be (a) processed, never dropped,
+        (b) scored against the state AS OF ARRIVAL (n_seen = every
+        point folded before it, not its event-time position), and
+        (c) ordered before same-batch later buckets (within-batch
+        bucket_ts sort). This is the documented semantics of
+        streaming.py:streaming_zscore_flags — monitoring alerts on
+        what the stream has SEEN, not on a replayed event-time order.
+        """
+        from datetime import datetime, timedelta
+
+        from tstoken.streaming import streaming_zscore_flags
+        src_dir = tmp_path / "late_tier_stream"
+        src_dir.mkdir()
+        base = datetime(2024, 1, 1)
+
+        def write(path, rows):
+            spark.createDataFrame(
+                rows, "source string, bucket_ts timestamp, sum_n_tok long"
+            ).coalesce(1).write.mode("overwrite").parquet(str(path))
+
+        # batch 1: minutes 0..39, alternating 99/101 (sd ~ 1.0)
+        write(src_dir / "b1",
+              [("src-000", base + timedelta(minutes=i), 99 + 2 * (i % 2))
+               for i in range(40)])
+        stream = (spark.readStream
+                  .schema("source string, bucket_ts timestamp, "
+                          "sum_n_tok long")
+                  .parquet(str(src_dir) + "/*"))
+        fl = streaming_zscore_flags(stream, threshold=3.0, min_history=30)
+        q = (fl.writeStream.format("memory").queryName("sz_late")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "chk2"))
+             .start())
+        try:
+            q.processAllAvailable()
+            # batch 2: a 30-minutes-LATE spike bucket + an on-time one
+            write(src_dir / "b2",
+                  [("src-000", base + timedelta(minutes=10), 1000),
+                   ("src-000", base + timedelta(minutes=40), 101)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = spark.sql("select * from sz_late").toPandas()
+        assert len(out) == 42  # the late bucket was processed, not dropped
+        late = out[out["value"] == 1000.0].iloc[0]
+        # scored against all 40 points folded before its ARRIVAL
+        assert late["n_seen"] == 40 and bool(late["is_outlier"])
+        # the same-batch minute-40 bucket processed AFTER the late one
+        # (within-batch bucket_ts order) — and the folded spike has
+        # blown up the running sd, so it is not flagged
+        m40 = out[out["bucket_ts"] == base + timedelta(minutes=40)].iloc[0]
+        assert m40["n_seen"] == 41 and not bool(m40["is_outlier"])
