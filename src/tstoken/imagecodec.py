@@ -9,9 +9,11 @@ these decoders are engine additions for the multimodal ingest path,
 (PNG: RFC 2083 / ISO 15948; JPEG: ITU-T T.81 with the Annex K example
 tables), decodable with stdlib zlib + NumPy alone:
 
-  - ``png_decode``: 8-bit gray / RGB / palette / gray+alpha / RGBA,
-    filters 0-4, non-interlaced (Adam7 raises NotImplementedError —
-    honest scope, not a fake). CRCs are verified.
+  - ``png_decode``: every spec-legal depth/color combination —
+    1/2/4/8-bit gray + palette, 8/16-bit gray / RGB / gray+alpha /
+    RGBA — filters 0-4, non-interlaced AND Adam7-interlaced (16-bit
+    decodes to the high byte under the uint8 contract). CRCs are
+    verified.
   - ``jpeg_decode``: baseline sequential DCT (SOF0/SOF1), Huffman
     entropy coding, restart markers, 4:4:4 / 4:2:2 / 4:2:0 chroma,
     JFIF YCbCr -> RGB. Progressive (SOF2) and arithmetic coding raise
@@ -40,9 +42,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse PNG scanline filters (spec 6.2-6.6) -> (h, w*ch) uint8."""
-    stride = w * ch
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (spec 6.2-6.6) -> (h, stride) uint8.
+
+    `stride` is the FILTERED row width in bytes (ceil(w*ch*depth/8)),
+    `bpp` the filter-distance in bytes (max(1, ch*depth//8)) — the
+    spec defines Sub/Average/Paeth over bytes at that distance, which
+    is why one routine serves 1/2/4/8/16-bit rows unchanged."""
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     if len(raw) < h * (stride + 1):
@@ -56,21 +62,25 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         if f == 0:                                   # None
             rec = line
         elif f == 1:                                 # Sub
-            # recon[x] = line[x] + recon[x-ch]: per-channel cumsum mod 256
-            rec = np.cumsum(line.reshape(w, ch), axis=0).ravel() % 256
+            # recon[x] = line[x] + recon[x-bpp]: per-offset cumsum mod 256
+            pad = (-stride) % bpp
+            padded = np.concatenate([line, np.zeros(pad, np.int32)]) \
+                if pad else line
+            rec = (np.cumsum(padded.reshape(-1, bpp), axis=0)
+                   .ravel()[:stride]) % 256
         elif f == 2:                                 # Up
             rec = (line + prev) % 256
         elif f == 3:                                 # Average
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((a + prev[x]) >> 1)) % 256
         elif f == 4:                                 # Paeth
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -81,13 +91,42 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int,
+                         depth: int) -> np.ndarray:
+    """(h, stride) filtered-row bytes -> (h, w*ch) samples.
+
+    16-bit samples keep their HIGH byte (the decoder's contract is
+    uint8 arrays; PNG 16-bit is big-endian so byte 0 is the MSB);
+    1/2/4-bit rows unpack MSB-first per the spec, trailing pad bits
+    dropped. 8-bit rows pass through."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * ch]
+    if depth == 16:
+        return rows[:, 0::2][:, :w * ch]
+    # depth 1/2/4 (gray or palette: ch == 1)
+    bits = np.unpackbits(rows, axis=1)
+    npx = w * ch
+    vals = bits[:, :npx * depth].reshape(h, npx, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def png_decode(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array: (H, W) gray, (H, W, 3) RGB, or
     (H, W, 4) RGBA / gray+alpha expanded to RGBA.
 
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
-    Raises ValueError on malformed data, NotImplementedError on
-    in-spec features outside that scope (16-bit, Adam7)."""
+    Supports every spec-legal (bit depth, color type) combination —
+    1/2/4/8-bit gray and palette, 8/16-bit gray/RGB/gray+alpha/RGBA —
+    both non-interlaced and Adam7-interlaced; 16-bit samples decode to
+    their high byte (the uint8 contract), sub-8-bit gray scales to
+    full range (1→0/255, 2→×85, 4→×17). Raises ValueError on
+    malformed data."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -115,20 +154,53 @@ def png_decode(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
+    # spec 11.2.2 legality table: palette caps at 8, truecolor/alpha
+    # types start at 8
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}[color]
+    if depth not in legal:
+        raise ValueError(f"illegal PNG depth {depth} for color {color}")
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color]
+    bpp = max(1, ch * depth // 8)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG zlib stream: {e}") from e
-    flat = _png_unfilter(raw, h, w, ch)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        rows = _png_unfilter(raw, h, stride_of(w), bpp)
+        flat = _png_rows_to_samples(rows, w, ch, depth)
+    else:
+        # Adam7: seven independently-filtered sub-images concatenated
+        # in the one zlib stream; empty passes contribute zero bytes
+        flat = np.zeros((h, w * ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_of(pw)
+            nbytes = ph * (stride + 1)
+            rows = _png_unfilter(raw[pos:pos + nbytes], ph, stride, bpp)
+            pos += nbytes
+            samp = _png_rows_to_samples(rows, pw, ch, depth) \
+                .reshape(ph, pw, ch)
+            flat.reshape(h, w, ch)[y0::ys, x0::xs] = samp
+        flat = flat.reshape(h, w * ch)
+    if depth < 8 and color == 0:
+        # scale sub-8-bit gray to the full 0-255 range (255/(2^d - 1))
+        flat = (flat.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
     if color == 0:
         return flat.reshape(h, w)
     if color == 2:

@@ -288,7 +288,8 @@ class TestMultimodal:
         # round 5: JPEG/PNG are now REAL decoders (tstoken.imagecodec);
         # a truncated JPEG is malformed data -> ValueError, and only
         # in-spec variants outside scope stay NotImplementedError
-        # (progressive JPEG / 16-bit PNG, pinned in test_imagecodec).
+        # (progressive JPEG; PNG now covers every spec-legal variant —
+        # pinned in test_imagecodec).
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff")             # truncated JPEG
         with pytest.raises(NotImplementedError):

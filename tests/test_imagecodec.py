@@ -73,6 +73,87 @@ def _make_png(img: np.ndarray, color: int, filters: list[int],
     return b"\x89PNG\r\n\x1a\n" + chunks
 
 
+def _rows_bytes(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples -> (h, stride) row bytes for the wire."""
+    h, w, ch = samples.shape
+    if depth == 8:
+        return samples.reshape(h, -1).astype(np.uint8)
+    if depth == 16:
+        return np.frombuffer(
+            samples.astype(">u2").tobytes(), np.uint8).reshape(h, -1)
+    # sub-8-bit: MSB-first bit packing, zero pad to the byte boundary
+    bits = ((samples.reshape(h, -1)[:, :, None]
+             >> np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
+    return np.packbits(bits.astype(np.uint8), axis=1)
+
+
+def _filter_image(samples: np.ndarray, depth: int,
+                  filters: list[int]) -> bytes:
+    """Forward-filter one (sub-)image's scanlines (spec 6.2-6.6)."""
+    h, _, ch = samples.shape
+    rows = _rows_bytes(samples, depth).astype(np.int32)
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    prev = np.zeros(rows.shape[1], dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = rows[y]
+        shift = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) \
+            if rows.shape[1] > bpp else np.zeros_like(line)
+        cshift = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) \
+            if rows.shape[1] > bpp else np.zeros_like(line)
+        if f == 0:
+            out = line
+        elif f == 1:
+            out = (line - shift) % 256
+        elif f == 2:
+            out = (line - prev) % 256
+        elif f == 3:
+            out = (line - (shift + prev) // 2) % 256
+        else:
+            p = shift + prev - cshift
+            pa = np.abs(p - shift)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - cshift)
+            pred = np.where((pa <= pb) & (pa <= pc), shift,
+                            np.where(pb <= pc, prev, cshift))
+            out = (line - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    return bytes(raw)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _make_png_full(samples: np.ndarray, color: int, depth: int,
+                   filters: list[int] = (0,), interlace: int = 0,
+                   plte: bytes = b"") -> bytes:
+    """Reference writer for EVERY depth/interlace combination (the
+    original _make_png predates 16-bit/sub-8-bit/Adam7 support)."""
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, _ = samples.shape
+    filters = list(filters)
+    if interlace == 0:
+        raw = _filter_image(samples, depth, filters)
+    else:
+        raw = b"".join(
+            _filter_image(samples[y0::ys, x0::xs], depth, filters)
+            for x0, y0, xs, ys in _ADAM7
+            if samples[y0::ys, x0::xs].shape[0]
+            and samples[y0::ys, x0::xs].shape[1])
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    chunks = _chunk(b"IHDR", ihdr)
+    if plte:
+        chunks += _chunk(b"PLTE", plte)
+    chunks += _chunk(b"IDAT", zlib.compress(raw))
+    chunks += _chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
 class TestPngDecode:
     def test_roundtrip_against_repo_encoder(self):
         rng = np.random.default_rng(7)
@@ -117,12 +198,61 @@ class TestPngDecode:
         with pytest.raises(ValueError):
             png_decode(bytes(b))
 
-    def test_out_of_scope_variants_raise_notimplemented(self):
+    @pytest.mark.parametrize("shape,color", [
+        ((13, 11, 3), 2), ((9, 16, 4), 6), ((8, 8, 1), 0),
+        ((1, 1, 3), 2), ((2, 3, 3), 2), ((7, 1, 1), 0)])
+    def test_adam7_matches_sequential(self, shape, color):
+        """Adam7 decode == the same pixels non-interlaced, incl. odd
+        dimensions with empty/partial passes, all five filters."""
+        rng = np.random.default_rng(shape[0] * 31 + shape[1])
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = png_decode(_make_png_full(img, color, 8, [0]))
+        got = png_decode(_make_png_full(img, color, 8,
+                                        [0, 1, 2, 3, 4], interlace=1))
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("interlace", [0, 1])
+    def test_16bit_decodes_high_byte(self, interlace):
+        rng = np.random.default_rng(11)
+        img16 = rng.integers(0, 1 << 16, (6, 5, 3), dtype=np.uint16)
+        dec = png_decode(_make_png_full(img16, 2, 16, [0, 2, 1, 4],
+                                        interlace=interlace))
+        assert np.array_equal(dec, (img16 >> 8).astype(np.uint8))
+
+    def test_16bit_rgba_and_gray(self):
+        rng = np.random.default_rng(13)
+        rgba = rng.integers(0, 1 << 16, (4, 7, 4), dtype=np.uint16)
+        assert np.array_equal(png_decode(_make_png_full(rgba, 6, 16, [3])),
+                              (rgba >> 8).astype(np.uint8))
+        gray = rng.integers(0, 1 << 16, (5, 3), dtype=np.uint16)
+        assert np.array_equal(png_decode(_make_png_full(gray, 0, 16, [1])),
+                              (gray >> 8).astype(np.uint8))
+
+    @pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+    def test_sub8bit_gray_scales_to_full_range(self, depth, scale):
+        rng = np.random.default_rng(depth)
+        img = rng.integers(0, 1 << depth, (9, 13), dtype=np.uint8)
+        dec = png_decode(_make_png_full(img, 0, depth, [0, 2]))
+        assert np.array_equal(dec, (img * scale).astype(np.uint8))
+        # and interlaced
+        dec7 = png_decode(_make_png_full(img, 0, depth, [0], interlace=1))
+        assert np.array_equal(dec7, (img * scale).astype(np.uint8))
+
+    def test_sub8bit_palette_indexes_unscaled(self):
+        rng = np.random.default_rng(21)
+        idx = rng.integers(0, 4, (6, 11), dtype=np.uint8)
+        plte = bytes(range(12))
+        dec = png_decode(_make_png_full(idx, 3, 2, [0], plte=plte))
+        pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
+        assert np.array_equal(dec, pal[idx])
+
+    def test_illegal_depth_color_combo_raises_valueerror(self):
         img = np.zeros((4, 4), np.uint8)
-        with pytest.raises(NotImplementedError):
-            png_decode(_make_png(img, 0, [0], interlace=1))
-        with pytest.raises(NotImplementedError):
-            png_decode(_make_png(img, 0, [0], depth=16))
+        with pytest.raises(ValueError):
+            png_decode(_make_png_full(img, 3, 16))   # 16-bit palette
+        with pytest.raises(ValueError):
+            png_decode(_make_png_full(
+                np.zeros((4, 4, 3), np.uint8), 2, 4))  # 4-bit RGB
 
     def test_truncated_raises_valueerror(self):
         payload = png_encode(np.zeros((8, 8, 3), np.uint8))
