@@ -38,8 +38,21 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, timeout=1800, cwd=REPO)
-        line = proc.stdout.strip().splitlines()[-1]
-        rec = json.loads(line)
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            # surface the failure AND salvage the completed campaigns —
+            # a dead campaign 3/4 must not discard an hour of walls
+            sys.stderr.write(proc.stderr[-4000:])
+            msg = (f"bench.py campaign {i + 1}/{n} failed "
+                   f"(exit {proc.returncode})")
+            if campaigns:
+                with open(OUT + ".partial", "w") as f:
+                    json.dump({"completed_campaigns": campaigns}, f,
+                              indent=1)
+                msg += (f"; {len(campaigns)} completed campaigns "
+                        f"saved to {OUT}.partial")
+            raise RuntimeError(msg)
+        rec = json.loads(lines[-1])
         rec["_pre_loadavg_1m"] = round(load, 2)
         rec["_campaign_wall_sec"] = round(time.time() - t0, 1)
         campaigns.append(rec)

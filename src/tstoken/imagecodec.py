@@ -141,8 +141,13 @@ def png_decode(payload: bytes) -> np.ndarray:
                 zlib.crc32(ctype + body) & 0xFFFFFFFF:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError(f"PLTE length {len(body)} not a "
+                                 "positive multiple of 3")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)

@@ -64,9 +64,11 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Formats: binary PPM (P6) / PGM (P5) parsed here; PNG and baseline
     JPEG via the pure-NumPy codecs in `imagecodec` (round 5 — these
-    previously raised NotImplementedError). In-spec variants outside
-    those codecs' scope (progressive JPEG, 16-bit/Adam7 PNG) still
-    raise NotImplementedError from the codec, honestly.
+    previously raised NotImplementedError). PNG covers every
+    spec-legal depth/color combination incl. Adam7; 16-bit samples
+    decode to their HIGH byte (the uint8 contract — lossy by design).
+    The one in-spec variant outside scope, progressive JPEG, still
+    raises NotImplementedError from the codec, honestly.
     """
     if payload[:2] == b"\xff\xd8":
         from .imagecodec import jpeg_decode

@@ -259,6 +259,24 @@ class TestPngDecode:
         with pytest.raises(ValueError):
             png_decode(payload[:40])
 
+    def test_malformed_chunk_bodies_raise_valueerror(self):
+        """Wrong-length IHDR / non-multiple-of-3 PLTE with VALID CRCs
+        must fail the documented ValueError contract, not leak
+        struct/NumPy errors to callers."""
+        bad_ihdr = (b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", struct.pack(">IIBBBB", 4, 4, 8, 0,
+                                                  0, 0))  # 12 bytes
+                    + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+                    + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            png_decode(bad_ihdr)
+        img = np.zeros((2, 2), np.uint8)
+        good = _make_png_full(img, 3, 8, plte=bytes(range(6)))
+        bad_plte = good.replace(_chunk(b"PLTE", bytes(range(6))),
+                                _chunk(b"PLTE", bytes(range(7))))
+        with pytest.raises(ValueError):
+            png_decode(bad_plte)
+
 
 def _seg(m: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
