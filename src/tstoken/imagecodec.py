@@ -14,14 +14,16 @@ tables), decodable with stdlib zlib + NumPy alone:
     RGBA — filters 0-4, non-interlaced AND Adam7-interlaced (16-bit
     decodes to the high byte under the uint8 contract). CRCs are
     verified.
-  - ``jpeg_decode``: baseline sequential DCT (SOF0/SOF1), Huffman
-    entropy coding, restart markers, 4:4:4 / 4:2:2 / 4:2:0 chroma,
-    JFIF YCbCr -> RGB. Progressive (SOF2) and arithmetic coding raise
-    NotImplementedError.
+  - ``jpeg_decode``: baseline sequential DCT (SOF0/SOF1) AND Huffman
+    progressive (SOF2 — spectral selection, successive approximation,
+    EOB runs, per T.81 Annex G), restart markers, 4:4:4 / 4:2:2 /
+    4:2:0 chroma, JFIF YCbCr -> RGB. Arithmetic coding and
+    lossless/differential SOFs raise NotImplementedError.
   - ``jpeg_encode``: baseline encoder (Annex K quantization + Huffman
-    tables, quality scaling per libjpeg's convention) — exists so the
-    decoder is round-trip-testable in-sandbox and so synthetic media
-    tables can carry real compressed payloads.
+    tables, quality scaling per libjpeg's convention) plus a
+    ``progressive=True`` mode emitting a libjpeg-shaped scan script —
+    exists so BOTH decoder modes are round-trip-testable in-sandbox
+    and so synthetic media tables can carry real compressed payloads.
 
 Scale posture: these run inside the same bounded-Arrow-batch
 mapInPandas plumbing as every other decoder in `multimodal` — per-row
@@ -376,17 +378,21 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H, W) gray or (H, W, 3) RGB.
+    """JPEG bytes -> uint8 (H, W) gray or (H, W, 3) RGB.
 
-    Supports SOF0/SOF1 (Huffman sequential), DRI/RST, 1- or
-    3-component scans, any h/v sampling up to 2 (4:4:4, 4:2:2, 4:2:0).
-    Progressive (SOF2+) raises NotImplementedError."""
+    Supports SOF0/SOF1 (Huffman sequential baseline) and SOF2
+    (Huffman progressive: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs),
+    DRI/RST, 1- or 3-component scans, any h/v sampling up to 2
+    (4:4:4, 4:2:2, 4:2:0). Lossless/arithmetic/differential SOFs
+    raise NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    coef = None        # progressive coefficient store, built at 1st SOS
     restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -396,7 +402,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         if marker == 0xFF:      # fill byte before a marker (spec B.1.1.2)
             pos -= 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:      # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue  # standalone
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + seglen]
@@ -415,7 +423,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
                     i += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):                 # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):           # SOF0/1 + SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -424,12 +432,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * k:9 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "progressive/lossless/arithmetic) not supported")
+                "lossless/arithmetic/differential) not supported")
         elif marker == 0xC4:                         # DHT
             i = 0
             while i < len(body):
@@ -450,9 +459,21 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            return _jpeg_scan(payload, pos + seglen, frame, scan, qt,
-                              huff, restart)
+            if not frame.get("prog"):
+                return _jpeg_scan(payload, pos + seglen, frame, scan,
+                                  qt, huff, restart)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coef is None:
+                coef = _prog_init(frame)
+            end = _next_jpeg_marker(payload, pos + seglen)
+            _prog_scan(payload, pos + seglen, frame, scan, huff,
+                       restart, coef, ss, se, ahal >> 4, ahal & 15)
+            pos = end
+            continue
         pos += seglen
+    if frame is not None and frame.get("prog") and coef is not None:
+        return _prog_assemble(frame, coef, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -497,6 +518,12 @@ def _jpeg_scan(payload: bytes, pos: int, frame: dict, scan: list,
                 raise ValueError("restart marker at unexpected MCU "
                                  "position") from None
             mcu_count += 1
+    return _jpeg_finish(planes, comps, h, w, hmax, vmax)
+
+
+def _jpeg_finish(planes: dict, comps: list, h: int, w: int,
+                 hmax: int, vmax: int) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, convert."""
     out = []
     for c in comps:
         p = planes[c["id"]]
@@ -538,6 +565,223 @@ def _decode_block(reader: _BitReader, dctab: dict, actab: dict,
     blk = np.zeros(64, dtype=np.float64)
     blk[_ZIGZAG] = coeff
     return _DCT_A.T @ blk.reshape(8, 8) @ _DCT_A
+
+
+# ------------------------------------------------- JPEG progressive (SOF2)
+#
+# T.81 Annex G, Huffman coding only. Each SOS contributes one band
+# (spectral selection Ss..Se) at one precision (successive
+# approximation Ah -> Al) to a per-component DCT-coefficient store;
+# the image materializes once, after EOI, via dequant + IDCT over the
+# completed store. The AC refinement control flow mirrors G.1.2.3:
+# each (run, size) symbol advances over `run` ZERO-history positions,
+# consuming one correction bit for every nonzero-history position
+# passed; an EOBn symbol refines every remaining nonzero-history
+# position of the current block and the next EOBRUN-1 whole blocks.
+
+
+def _next_jpeg_marker(payload: bytes, pos: int) -> int:
+    """First byte offset >= pos of a marker that terminates entropy
+    data (not a stuffed 0xFF00, not RST, not fill bytes)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                and payload[pos + 1] != 0xFF \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _prog_init(frame: dict) -> dict:
+    """Per-component coefficient stores (MCU-padded block grid) plus
+    the component's OWN block dimensions for non-interleaved scans
+    (A.2.2: ceil of the component's sample extent, NOT the padded
+    MCU grid)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    out = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        out[c["id"]] = {
+            "a": np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                          dtype=np.int32),
+            "bw": -(-cw // 8), "bh": -(-chh // 8)}
+    return out
+
+
+def _dc_first_unit(reader, dctab, cf, pred, cid, al):
+    t = reader.huff(dctab)
+    diff = _extend(reader.read(t), t) if t else 0
+    pred[cid] += diff
+    cf[0] = pred[cid] << al
+
+
+def _ac_first_unit(reader, actab, cf, ss, se, al, eobrun):
+    if eobrun[0]:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.huff(actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:                       # EOBn
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read(r)
+                return
+            k += 16                          # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band end")
+            cf[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+
+def _ac_refine_unit(reader, actab, cf, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.huff(actab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:                   # EOBn: finish via run below
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read(r)
+                    break
+                val = 0                      # ZRL: pass 16 zero-history
+            elif s == 1:
+                val = p1 if reader.read(1) else m1
+            else:
+                raise ValueError("invalid magnitude in AC refinement")
+            while k <= se:
+                if cf[k]:
+                    if reader.read(1) and not (cf[k] & p1):
+                        cf[k] += p1 if cf[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refine run past band end")
+                cf[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if cf[k]:
+                if reader.read(1) and not (cf[k] & p1):
+                    cf[k] += p1 if cf[k] > 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _prog_scan(payload: bytes, pos: int, frame: dict, scan: list,
+               huff: dict, restart: int, coef: dict,
+               ss: int, se: int, ah: int, al: int) -> None:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be 1-component")
+    if ss > se or se > 63:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    reader = _BitReader(payload, pos)
+    eobrun = [0]
+    pred = {c["id"]: 0 for c, _, _ in scan}
+
+    def do_restart():
+        reader.align()
+        p = reader.pos
+        if payload[p:p + 1] == b"\xff" and 0xD0 <= payload[p + 1] <= 0xD7:
+            reader.pos = p + 2
+        else:
+            raise ValueError("JPEG restart marker missing in scan")
+        for cid in pred:
+            pred[cid] = 0
+        eobrun[0] = 0
+
+    try:
+        if ss == 0 and len(scan) > 1:        # interleaved DC, MCU order
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n and n % restart == 0:
+                        do_restart()
+                    for comp, td, _ in scan:
+                        cid = comp["id"]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                cf = coef[cid]["a"][
+                                    my * comp["v"] + by,
+                                    mx * comp["h"] + bx]
+                                if ah == 0:
+                                    _dc_first_unit(reader, huff[(0, td)],
+                                                   cf, pred, cid, al)
+                                else:
+                                    cf[0] |= reader.read(1) << al
+                    n += 1
+        else:                                # single component, raster
+            comp, td, ta = scan[0]
+            cid = comp["id"]
+            info = coef[cid]
+            n = 0
+            for by in range(info["bh"]):
+                for bx in range(info["bw"]):
+                    if restart and n and n % restart == 0:
+                        do_restart()
+                    cf = info["a"][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _dc_first_unit(reader, huff[(0, td)], cf,
+                                           pred, cid, al)
+                        else:
+                            cf[0] |= reader.read(1) << al
+                    elif ah == 0:
+                        _ac_first_unit(reader, huff[(1, ta)], cf,
+                                       ss, se, al, eobrun)
+                    else:
+                        _ac_refine_unit(reader, huff[(1, ta)], cf,
+                                        ss, se, al, eobrun)
+                    n += 1
+    except _RestartMarker:
+        raise ValueError("restart marker at unexpected position "
+                         "in progressive scan") from None
+
+
+def _prog_assemble(frame: dict, coef: dict, qt: dict) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        a = coef[c["id"]]["a"]
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        deq = (a * qt[c["tq"]]).astype(np.float64)   # zigzag order
+        nby, nbx = a.shape[:2]
+        blk = np.zeros((nby, nbx, 64), dtype=np.float64)
+        blk[:, :, _ZIGZAG] = deq
+        spat = _DCT_A.T @ blk.reshape(-1, 8, 8) @ _DCT_A
+        planes[c["id"]] = (spat.reshape(nby, nbx, 8, 8)
+                           .transpose(0, 2, 1, 3)
+                           .reshape(nby * 8, nbx * 8))
+    return _jpeg_finish(planes, comps, h, w, hmax, vmax)
 
 
 # -------------------------------------------------- JPEG encode (test twin)
@@ -592,10 +836,15 @@ def _mag_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+def _quant_zigzag(blk: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Spatial 8x8 (level-shifted) -> quantized zigzag-order int64[64]."""
+    f = _DCT_A @ blk @ _DCT_A.T
+    return np.round(f.ravel()[_ZIGZAG] / q).astype(np.int64)
+
+
 def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
                   pred: list, dct: dict, act: dict) -> None:
-    f = _DCT_A @ blk @ _DCT_A.T
-    coeff = np.round(f.ravel()[_ZIGZAG] / q).astype(np.int64)
+    coeff = _quant_zigzag(blk, q)
     diff = int(coeff[0]) - pred[0]
     pred[0] = int(coeff[0])
     t = _mag_cat(diff)
@@ -619,9 +868,194 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
         bw.write(*act[0x00])  # EOB
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (H, W) gray or (H, W, 3) RGB -> baseline JFIF JPEG
-    (4:4:4, Annex K tables scaled by `quality`)."""
+# Flat canonical table holding EVERY (run, size) symbol 0x00-0xFF:
+# Annex K's baseline tables lack the EOBn symbols (r<<4 with size 0,
+# r >= 1) progressive scans need, so the progressive twin ships its
+# own — 128 symbols at 8 bits + 128 at 9 bits (Kraft sum 0.75, legal).
+_FLAT_HUFF = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+              list(range(256)))
+
+
+def _flat_encode_map() -> dict:
+    enc, code, k = {}, 0, 0
+    counts, syms = _FLAT_HUFF
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + progressive EOB-run bookkeeping: EOBn symbols are
+    deferred until the next non-EOB symbol (or scan end) so runs
+    accumulate, and AC-refinement correction bits buffer until the
+    symbol they trail (decoder reads them interleaved)."""
+
+    def __init__(self, table: dict):
+        super().__init__()
+        self.tab = table
+        self.eobrun = 0
+        self.pending = []        # correction bits owed to the next flush
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.write(*self.tab[r << 4])
+            if r:
+                self.write(r, self.eobrun - (1 << r))
+            self.eobrun = 0
+        for bit in self.pending:
+            self.write(1, bit)
+        self.pending = []
+
+    def symbol(self, sym: int, extra_nbits: int = 0,
+               extra: int = 0, trailing=()) -> None:
+        self.flush_eobrun()
+        self.write(*self.tab[sym])
+        if extra_nbits:
+            self.write(extra_nbits, extra)
+        for bit in trailing:
+            self.write(1, bit)
+
+    def add_eob(self, trailing=()) -> None:
+        self.eobrun += 1
+        self.pending.extend(trailing)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+    def end_scan(self) -> bytes:
+        self.flush_eobrun()
+        self.flush()
+        return bytes(self.out)
+
+
+def _encode_progressive_scans(coefs: list, seg) -> list:
+    """Emit the DHT + every SOS/entropy segment of the progressive
+    script. `coefs`: per component, (n_blocks, 64) zigzag int64 in
+    raster (== 4:4:4 MCU) order."""
+    ncomp = len(coefs)
+    counts, syms = _FLAT_HUFF
+    flat = _flat_encode_map()
+    parts = [seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms)
+                 + bytes([0x10]) + bytes(counts) + bytes(syms))]
+
+    def sos(comp_ids: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])       # td=0, ta=0 (flat tables)
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def mag(v: int) -> tuple[int, int]:
+        s = _mag_cat(v)
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    # ---- scan 1: interleaved DC first, Al=1
+    bw = _ProgWriter(flat)
+    pred = [0] * ncomp
+    for b in range(coefs[0].shape[0]):
+        for ci in range(ncomp):
+            v = int(coefs[ci][b, 0]) >> 1            # point transform
+            diff = v - pred[ci]
+            pred[ci] = v
+            s, bits = mag(diff)
+            bw.symbol(s, s, bits)
+    parts += [sos(list(range(1, ncomp + 1)), 0, 0, 0, 1),
+              bw.end_scan()]
+
+    # ---- AC first scans, Al=1, bands 1-5 then 6-63, per component
+    for ci in range(ncomp):
+        for lo, hi in ((1, 5), (6, 63)):
+            bw = _ProgWriter(flat)
+            for b in range(coefs[ci].shape[0]):
+                band = coefs[ci][b, lo:hi + 1]
+                av = np.abs(band) >> 1
+                nz = np.nonzero(av)[0]
+                if not len(nz):
+                    bw.add_eob()
+                    continue
+                run = 0
+                for k in range(int(nz[-1]) + 1):
+                    if av[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.symbol(0xF0)              # ZRL
+                        run -= 16
+                    v = int(av[k]) if band[k] > 0 else -int(av[k])
+                    s, bits = mag(v)
+                    bw.symbol((run << 4) | s, s, bits)
+                    run = 0
+                if int(nz[-1]) < hi - lo:            # trailing zeros
+                    bw.add_eob()
+            parts += [sos([ci + 1], lo, hi, 0, 1), bw.end_scan()]
+
+    # ---- DC refinement to Al=0 (interleaved, raw bits, no table)
+    bw = _ProgWriter(flat)
+    for b in range(coefs[0].shape[0]):
+        for ci in range(ncomp):
+            bw.write(1, int(coefs[ci][b, 0]) & 1)
+    parts += [sos(list(range(1, ncomp + 1)), 0, 0, 1, 0), bw.end_scan()]
+
+    # ---- AC refinement scans to Al=0 (G.1.2.3 mirror). The encoder
+    # SIMULATES the decoder's advance: each emitted symbol carries
+    # exactly the correction bits of the nonzero-HISTORY positions its
+    # advance passes — a ZRL consumes 16 zero-history positions plus
+    # whatever history bits fall among them, no more.
+    for ci in range(ncomp):
+        for lo, hi in ((1, 5), (6, 63)):
+            bw = _ProgWriter(flat)
+            for b in range(coefs[ci].shape[0]):
+                band = coefs[ci][b, lo:hi + 1]
+                a = np.abs(band)
+                newly = np.nonzero(a == 1)[0]        # first bit is bit 0
+                if not len(newly):
+                    # whole band is one EOB: every history coefficient
+                    # owes its correction bit, buffered onto the run
+                    bw.add_eob([int(x) & 1 for x in a if x > 1])
+                    continue
+                i = 0                                # decoder cursor
+                for kn in (int(k) for k in newly):
+                    r = int(np.count_nonzero(a[i:kn] == 0))
+                    while r > 15:
+                        zc, bits = 0, []
+                        while zc < 16:
+                            if a[i] == 0:
+                                zc += 1
+                            elif a[i] > 1:
+                                bits.append(int(a[i]) & 1)
+                            i += 1
+                        bw.symbol(0xF0, trailing=bits)
+                        r -= 16
+                    bits = []
+                    while i < kn:
+                        if a[i] > 1:
+                            bits.append(int(a[i]) & 1)
+                        i += 1
+                    bw.symbol((r << 4) | 1, 1,
+                              1 if band[kn] > 0 else 0, trailing=bits)
+                    i = kn + 1
+                if i < len(band):                    # positions remain
+                    bw.add_eob([int(x) & 1 for x in a[i:] if x > 1])
+            parts += [sos([ci + 1], lo, hi, 1, 0), bw.end_scan()]
+    return parts
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                progressive: bool = False) -> bytes:
+    """uint8 (H, W) gray or (H, W, 3) RGB -> JFIF JPEG (4:4:4, Annex K
+    quantization scaled by `quality`).
+
+    progressive=True emits SOF2 with a libjpeg-shaped scan script —
+    interleaved DC first (Al=1), per-component AC bands 1-5 and 6-63
+    first (Al=1), then DC + AC refinements down to Al=0 — so the
+    progressive DECODER's every path (spectral selection, successive
+    approximation, EOB runs, correction bits) is exercisable
+    in-sandbox. Quantized coefficients are identical either way, so
+    progressive and baseline decodes of the same image are
+    bit-identical."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -656,7 +1090,21 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
-    parts.append(seg(0xC0, sof))
+    parts.append(seg(0xC0 if not progressive else 0xC2, sof))
+    if progressive:
+        qs = [qlz.astype(np.float64)] \
+            + [qcz.astype(np.float64)] * (ncomp - 1)
+        coefs = []
+        for ci, p in enumerate(planes):
+            grid = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    grid[by, bx] = _quant_zigzag(
+                        p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], qs[ci])
+            coefs.append(grid.reshape(-1, 64))
+        parts.extend(_encode_progressive_scans(coefs, seg))
+        parts.append(b"\xff\xd9")
+        return b"".join(parts)
     for tc, th, (counts, syms) in ((0, 0, _HUFF_DC_LUMA),
                                    (1, 0, _HUFF_AC_LUMA),
                                    (0, 1, _HUFF_DC_CHROMA),

@@ -10,9 +10,11 @@ Decoders are REAL for the container formats parseable with NumPy alone
     fps, length-prefixed PPM frames) defined here so frame sampling
     has a real binary format to operate on.
 
-Formats that require codecs this container lacks (JPEG/PNG, MP3/AAC,
-MP4/H.264) raise NotImplementedError from the same entry points —
-clearly marked, not silently faked. Feature extraction falls back to a
+PNG and JPEG (baseline + progressive) decode via the pure-NumPy
+codecs in ``imagecodec``. Formats that require codecs this container
+lacks (MP3/AAC, MP4/H.264, arithmetic/lossless JPEG) raise
+NotImplementedError from the same entry points — clearly marked, not
+silently faked. Feature extraction falls back to a
 byte-histogram ONLY for payloads that fail to decode, and the fallback
 is visible in the `decoded` output column.
 
@@ -62,13 +64,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Image bytes → uint8 array: (H, W) gray, (H, W, 3) RGB, or
     (H, W, 4) RGBA.
 
-    Formats: binary PPM (P6) / PGM (P5) parsed here; PNG and baseline
-    JPEG via the pure-NumPy codecs in `imagecodec` (round 5 — these
-    previously raised NotImplementedError). PNG covers every
-    spec-legal depth/color combination incl. Adam7; 16-bit samples
-    decode to their HIGH byte (the uint8 contract — lossy by design).
-    The one in-spec variant outside scope, progressive JPEG, still
-    raises NotImplementedError from the codec, honestly.
+    Formats: binary PPM (P6) / PGM (P5) parsed here; PNG and JPEG via
+    the pure-NumPy codecs in `imagecodec` (round 5 — these previously
+    raised NotImplementedError). PNG covers every spec-legal
+    depth/color combination incl. Adam7; 16-bit samples decode to
+    their HIGH byte (the uint8 contract — lossy by design). JPEG
+    covers baseline sequential AND Huffman progressive; only
+    arithmetic-coded and lossless SOFs still raise
+    NotImplementedError from the codec, honestly.
     """
     if payload[:2] == b"\xff\xd8":
         from .imagecodec import jpeg_decode

@@ -288,8 +288,8 @@ class TestMultimodal:
         # round 5: JPEG/PNG are now REAL decoders (tstoken.imagecodec);
         # a truncated JPEG is malformed data -> ValueError, and only
         # in-spec variants outside scope stay NotImplementedError
-        # (progressive JPEG; PNG now covers every spec-legal variant —
-        # pinned in test_imagecodec).
+        # (arithmetic/lossless JPEG; PNG and Huffman JPEG — baseline
+        # AND progressive — now decode, pinned in test_imagecodec).
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff")             # truncated JPEG
         with pytest.raises(NotImplementedError):

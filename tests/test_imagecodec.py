@@ -387,11 +387,21 @@ class TestJpegDecodeSpecFixture:
         assert img.shape == (16, 16, 3)
         assert img.min() == img.max() == 136
 
-    def test_progressive_raises_notimplemented(self):
+    def test_lossless_arithmetic_raise_notimplemented(self):
+        # progressive (0xC2) is now implemented; the SOF codes that
+        # remain out of scope are lossless/arithmetic/differential
         payload = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
         i = payload.index(b"\xff\xc0")
+        for sof in (0xC3, 0xC9, 0xCB):
+            payload[i + 1] = sof
+            with pytest.raises(NotImplementedError):
+                jpeg_decode(bytes(payload))
+        # a baseline stream relabeled SOF2 decodes identically: its
+        # single full-band sequential scan is ALSO a legal progressive
+        # scan (Ss=0..63 is not, though — DC must be separate), so the
+        # decoder must reject it as malformed instead of mis-reading
         payload[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             jpeg_decode(bytes(payload))
 
     def test_truncated_raises(self):
@@ -446,3 +456,177 @@ class TestMultimodalDispatch:
         assert f_png.shape == (32,) and np.isfinite(f_png).all()
         f_jpg = image_feature(jpeg_encode(img, quality=95))
         assert f_jpg.shape == (32,) and np.isfinite(f_jpg).all()
+
+
+# ------------------------------------------------------- progressive JPEG
+
+def _flat_code(sym: int) -> tuple[int, int]:
+    """The _FLAT_HUFF canonical code for a symbol: 128 8-bit codes
+    0..127, then 128 9-bit codes 0x100.. (independent re-derivation)."""
+    return (8, sym) if sym < 128 else (9, 0x100 + sym - 128)
+
+
+class _Bits:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, n, v):
+        self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def bytes(self):
+        b = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(b), 8):
+            byte = int("".join(map(str, b[i:i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _prog_gray_stream(scans, w=8, h=8):
+    """Hand-assembled SOF2 stream: DQT all-ones, flat Huffman tables,
+    `scans` = [(ss, se, ah, al, entropy_bytes), ...]."""
+    from tstoken.imagecodec import _FLAT_HUFF
+    counts, syms = _FLAT_HUFF
+    parts = [b"\xff\xd8",
+             _seg(0xDB, bytes([0]) + bytes([1] * 64)),
+             _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0])),
+             _seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms)
+                  + bytes([0x10]) + bytes(counts) + bytes(syms))]
+    for ss, se, ah, al, data in scans:
+        parts.append(_seg(0xDA, bytes([1, 1, 0x00, ss, se,
+                                       (ah << 4) | al])))
+        parts.append(data)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def _ref_idct_zigzag(coeff64):
+    """Independent IDCT (T.81 A.3.3 formula, no module constants)."""
+    F = np.zeros(64)
+    F[_ZIGZAG] = coeff64
+    F = F.reshape(8, 8)
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 2 ** -0.5 if u == 0 else 1.0
+                    cv = 2 ** -0.5 if v == 0 else 1.0
+                    s += (cu * cv * F[u, v]
+                          * np.cos((2 * x + 1) * v * np.pi / 16)
+                          * np.cos((2 * y + 1) * u * np.pi / 16))
+            out[y, x] = s / 4
+    return out + 128.0
+
+
+class TestJpegProgressive:
+    def test_hand_fixture_sa_refinement(self):
+        """4-scan successive approximation on one block, every bit
+        written from the spec by hand: DC first/refine + AC
+        first/refine with two history coefficients (zigzag DC=6,
+        k2=+3, k5=-2, identity quantization)."""
+        s1 = _Bits()                       # DC first, Al=1: diff 6>>1=3
+        s1.put(*_flat_code(0x02))
+        s1.put(2, 0b11)
+        s2 = _Bits()                       # AC first 1..63, Al=1
+        s2.put(*_flat_code(0x11))          # r=1 (skip k1), s=1
+        s2.put(1, 1)                       # +1  (k2: |3|>>1 = 1)
+        s2.put(*_flat_code(0x21))          # r=2 (skip k3,k4), s=1
+        s2.put(1, 0)                       # -1  (k5: sign bit 0)
+        s2.put(*_flat_code(0x00))          # EOB (rest of band zero)
+        s3 = _Bits()                       # DC refine to Al=0: 6&1 = 0
+        s3.put(1, 0)
+        s4 = _Bits()                       # AC refine 1..63 to Al=0
+        s4.put(*_flat_code(0x00))          # EOB covering whole band
+        s4.put(1, 1)                       # k2 correction: 2 -> 3
+        s4.put(1, 0)                       # k5 correction: -2 stays
+        img = jpeg_decode(_prog_gray_stream([
+            (0, 0, 0, 1, s1.bytes()), (1, 63, 0, 1, s2.bytes()),
+            (0, 0, 1, 0, s3.bytes()), (1, 63, 1, 0, s4.bytes())]))
+        coeff = np.zeros(64)
+        coeff[0], coeff[2], coeff[5] = 6, 3, -2
+        want = np.clip(np.round(_ref_idct_zigzag(coeff)), 0, 255)
+        assert np.abs(img.astype(float) - want).max() <= 1
+
+    @pytest.mark.parametrize("shape,quality", [
+        ((24, 17), 85), ((21, 19, 3), 90), ((8, 8), 100),
+        ((40, 40, 3), 50)])
+    def test_progressive_equals_baseline(self, shape, quality):
+        """Same quantized coefficients both ways -> bit-identical
+        decodes; random content exercises sign/magnitude paths."""
+        rng = np.random.default_rng(sum(shape) + quality)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = jpeg_encode(img, quality, progressive=True)
+        base = jpeg_encode(img, quality)
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        assert np.array_equal(jpeg_decode(prog), jpeg_decode(base))
+
+    def test_progressive_smooth_gradient(self):
+        """Smooth content -> long EOB runs across blocks in the AC
+        scans (the accumulation/flush path, not per-block EOBs)."""
+        y, x = np.mgrid[0:48, 0:32]
+        img = ((x * 3 + y * 2) % 256).astype(np.uint8)
+        prog = jpeg_encode(img, 75, progressive=True)
+        base = jpeg_encode(img, 75)
+        assert np.array_equal(jpeg_decode(prog), jpeg_decode(base))
+
+    def test_progressive_constant_image_pure_eobruns(self):
+        img = np.full((32, 32, 3), 77, np.uint8)
+        prog = jpeg_encode(img, 90, progressive=True)
+        assert np.array_equal(jpeg_decode(prog),
+                              jpeg_decode(jpeg_encode(img, 90)))
+
+    def test_crafted_coefficients_force_zrl_and_interleaved_bits(self):
+        """Drive the encoder at coefficient level to guarantee the
+        paths random images may miss: ZRL in first AND refine scans,
+        correction bits interleaved around a ZRL, EOB runs spanning
+        blocks mid-scan, and |coeff| large enough for multi-bit
+        magnitudes; verify against an independent IDCT."""
+        from tstoken.imagecodec import (_FLAT_HUFF,
+                                        _encode_progressive_scans)
+        counts, syms = _FLAT_HUFF
+        blocks = np.zeros((9, 64), dtype=np.int64)
+        blocks[0, 0] = 13
+        blocks[0, 10] = 9          # band 6-63: k10
+        blocks[0, 40] = -2         # 29 zero-history gap -> ZRL + r=13
+        blocks[2, 0] = -6          # blocks 1,3..7 all-zero: EOB runs
+        blocks[2, 63] = 3          # nonzero at the very band end
+        blocks[8, 1] = 1           # band 1-5 content in the last block
+        blocks[8, 2] = -7
+        blocks[8, 30] = 5
+        blocks[8, 55] = -1
+
+        def seg(marker, body):
+            return _seg(marker, body)
+
+        parts = [b"\xff\xd8",
+                 _seg(0xDB, bytes([0]) + bytes([1] * 64)),
+                 _seg(0xC2, struct.pack(">BHHB", 8, 24, 24, 1)
+                      + bytes([1, 0x11, 0]))]
+        parts += _encode_progressive_scans([blocks], seg)
+        parts.append(b"\xff\xd9")
+        img = jpeg_decode(b"".join(parts))
+        want = np.zeros((24, 24))
+        for b in range(9):
+            by, bx = divmod(b, 3)
+            want[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                _ref_idct_zigzag(blocks[b])
+        want = np.clip(np.round(want), 0, 255)
+        assert np.abs(img.astype(float) - want).max() <= 1
+
+    def test_missing_scan_leaves_partial_but_decodes(self):
+        """A stream with only the DC-first scan (a legal truncated
+        progressive render) decodes without error to the DC
+        approximation."""
+        s1 = _Bits()
+        s1.put(*_flat_code(0x02))
+        s1.put(2, 0b11)                    # DC 3 at Al=1 -> stored 6
+        img = jpeg_decode(_prog_gray_stream([(0, 0, 0, 1, s1.bytes())]))
+        coeff = np.zeros(64)
+        coeff[0] = 6
+        want = np.clip(np.round(_ref_idct_zigzag(coeff)), 0, 255)
+        assert np.abs(img.astype(float) - want).max() <= 1
