@@ -320,10 +320,10 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 def synth_media(spark, n: int = 200) -> DataFrame:
     """Deterministic media table with REAL payloads: images rotating
-    through P6 PPM / PNG / baseline JPEG containers (seeded gradient +
-    noise), 16-bit PCM WAVs (seeded sine mix), TSVC frame containers —
-    every payload decodes with the functions above (PNG/JPEG via
-    `imagecodec` since round 5)."""
+    through P6 PPM / PNG / baseline JPEG / progressive JPEG containers
+    (seeded gradient + noise), 16-bit PCM WAVs (seeded sine mix), TSVC
+    frame containers — every payload decodes with the functions above
+    (PNG/JPEG via `imagecodec` since round 5)."""
     from .imagecodec import jpeg_encode
     from .plotting import png_encode
 
@@ -338,13 +338,14 @@ def synth_media(spark, n: int = 200) -> DataFrame:
                    / 2 + rng.normal(0, 12, (h, w))).clip(0, 255)
             rgb = np.stack([img, np.roll(img, 3, axis=1), img[::-1]],
                            axis=2).astype(np.uint8)
-            container = (i // 3) % 3
+            container = (i // 3) % 4
             if container == 0:
                 payload = encode_ppm(rgb)
             elif container == 1:
                 payload = png_encode(rgb)
             else:
-                payload = jpeg_encode(rgb, quality=90)
+                payload = jpeg_encode(rgb, quality=90,
+                                      progressive=container == 3)
             dur = 0
         elif kind == "audio":
             t = np.arange(800 + (i % 5) * 400) / 8000.0
