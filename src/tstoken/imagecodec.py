@@ -457,7 +457,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             scan = []
             for k in range(ns):
                 cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cs}")
                 scan.append((comp, tdta >> 4, tdta & 15))
             if not frame.get("prog"):
                 return _jpeg_scan(payload, pos + seglen, frame, scan,
@@ -482,7 +486,9 @@ def _jpeg_scan(payload: bytes, pos: int, frame: dict, scan: list,
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+    if min(c["h"] for c in comps) < 1 or min(c["v"] for c in comps) < 1:
+        raise ValueError("invalid JPEG sampling factor 0")
+    if hmax > 2 or vmax > 2:
         raise NotImplementedError("sampling factors above 2 unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -506,7 +512,8 @@ def _jpeg_scan(payload: bytes, pos: int, frame: dict, scan: list,
             try:
                 for comp, td, ta in scan:
                     q = qt[comp["tq"]]
-                    dctab, actab = huff[(0, td)], huff[(1, ta)]
+                    dctab = _get_huff(huff, 0, td)
+                    actab = _get_huff(huff, 1, ta)
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
                             blk = _decode_block(reader, dctab, actab, q,
@@ -592,6 +599,16 @@ def _next_jpeg_marker(payload: bytes, pos: int) -> int:
     return len(payload)
 
 
+def _get_huff(huff: dict, tc: int, th: int) -> dict:
+    """Huffman table lookup honoring the ValueError-for-malformed
+    contract (a scan naming an undefined table is malformed data)."""
+    t = huff.get((tc, th))
+    if t is None:
+        raise ValueError(
+            f"JPEG scan uses undefined Huffman table class {tc} id {th}")
+    return t
+
+
 def _prog_init(frame: dict) -> dict:
     """Per-component coefficient stores (MCU-padded block grid) plus
     the component's OWN block dimensions for non-interleaved scans
@@ -601,6 +618,11 @@ def _prog_init(frame: dict) -> dict:
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or min(c["h"] for c in comps) < 1 \
+            or min(c["v"] for c in comps) < 1:
+        raise ValueError("invalid JPEG sampling factor 0")
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     out = {}
@@ -730,7 +752,8 @@ def _prog_scan(payload: bytes, pos: int, frame: dict, scan: list,
                                     my * comp["v"] + by,
                                     mx * comp["h"] + bx]
                                 if ah == 0:
-                                    _dc_first_unit(reader, huff[(0, td)],
+                                    _dc_first_unit(reader,
+                                                   _get_huff(huff, 0, td),
                                                    cf, pred, cid, al)
                                 else:
                                     cf[0] |= reader.read(1) << al
@@ -747,15 +770,15 @@ def _prog_scan(payload: bytes, pos: int, frame: dict, scan: list,
                     cf = info["a"][by, bx]
                     if ss == 0:
                         if ah == 0:
-                            _dc_first_unit(reader, huff[(0, td)], cf,
-                                           pred, cid, al)
+                            _dc_first_unit(reader, _get_huff(huff, 0, td),
+                                           cf, pred, cid, al)
                         else:
                             cf[0] |= reader.read(1) << al
                     elif ah == 0:
-                        _ac_first_unit(reader, huff[(1, ta)], cf,
+                        _ac_first_unit(reader, _get_huff(huff, 1, ta), cf,
                                        ss, se, al, eobrun)
                     else:
-                        _ac_refine_unit(reader, huff[(1, ta)], cf,
+                        _ac_refine_unit(reader, _get_huff(huff, 1, ta), cf,
                                         ss, se, al, eobrun)
                     n += 1
     except _RestartMarker:
@@ -773,7 +796,10 @@ def _prog_assemble(frame: dict, coef: dict, qt: dict) -> np.ndarray:
         a = coef[c["id"]]["a"]
         if c["tq"] not in qt:
             raise ValueError(f"missing quantization table {c['tq']}")
-        deq = (a * qt[c["tq"]]).astype(np.float64)   # zigzag order
+        # int64 BEFORE the multiply: a crafted high-Al partial decode
+        # times a 16-bit quant value can exceed int32
+        deq = a.astype(np.int64) * qt[c["tq"]].astype(np.int64)
+        deq = deq.astype(np.float64)                 # zigzag order
         nby, nbx = a.shape[:2]
         blk = np.zeros((nby, nbx, 64), dtype=np.float64)
         blk[:, :, _ZIGZAG] = deq
@@ -793,21 +819,25 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((q * s + 50) // 100, 1, 255).astype(np.int32)
 
 
+def _canonical_encode_map(counts: list, syms: list) -> dict:
+    """{symbol: (length, code)} — the encode-side twin of
+    _build_canonical, shared by the baseline and progressive paths."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
 def _encode_tables() -> dict:
-    out = {}
-    for name, (counts, syms) in (("dcl", _HUFF_DC_LUMA),
-                                 ("dcc", _HUFF_DC_CHROMA),
-                                 ("acl", _HUFF_AC_LUMA),
-                                 ("acc", _HUFF_AC_CHROMA)):
-        enc, code, k = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(counts[length - 1]):
-                enc[syms[k]] = (length, code)
-                code += 1
-                k += 1
-            code <<= 1
-        out[name] = enc
-    return out
+    return {name: _canonical_encode_map(*tbl)
+            for name, tbl in (("dcl", _HUFF_DC_LUMA),
+                              ("dcc", _HUFF_DC_CHROMA),
+                              ("acl", _HUFF_AC_LUMA),
+                              ("acc", _HUFF_AC_CHROMA))}
 
 
 class _BitWriter:
@@ -877,15 +907,7 @@ _FLAT_HUFF = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
 
 
 def _flat_encode_map() -> dict:
-    enc, code, k = {}, 0, 0
-    counts, syms = _FLAT_HUFF
-    for length in range(1, 17):
-        for _ in range(counts[length - 1]):
-            enc[syms[k]] = (length, code)
-            code += 1
-            k += 1
-        code <<= 1
-    return enc
+    return _canonical_encode_map(*_FLAT_HUFF)
 
 
 class _ProgWriter(_BitWriter):

@@ -630,3 +630,40 @@ class TestJpegProgressive:
         coeff[0] = 6
         want = np.clip(np.round(_ref_idct_zigzag(coeff)), 0, 255)
         assert np.abs(img.astype(float) - want).max() <= 1
+
+    def test_malformed_scan_metadata_raises_valueerror(self):
+        """Streams whose scans reference undefined tables, unknown
+        components, or zero sampling factors are MALFORMED data and
+        must raise ValueError (the _featurize fallback contract), not
+        KeyError/StopIteration/ZeroDivisionError — in both the
+        baseline and progressive paths."""
+        base = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+
+        # scan referencing an unknown component id
+        bad = bytearray(base)
+        i = bad.index(b"\xff\xda")
+        assert bad[i + 5] == 1          # component id in SOS
+        bad[i + 5] = 9
+        with pytest.raises(ValueError):
+            jpeg_decode(bytes(bad))
+
+        # zero sampling factor in SOF (baseline and SOF2-labeled)
+        for sof in (0xC0, 0xC2):
+            bad = bytearray(base)
+            j = bad.index(b"\xff\xc0")
+            bad[j + 1] = sof
+            assert bad[j + 11] == 0x11  # h<<4|v of component 1
+            bad[j + 11] = 0x01
+            with pytest.raises((ValueError, NotImplementedError)):
+                jpeg_decode(bytes(bad))
+
+        # progressive scan with no DHT at all
+        s1 = _Bits()
+        s1.put(*_flat_code(0x02))
+        s1.put(2, 0b11)
+        stream = _prog_gray_stream([(0, 0, 0, 1, s1.bytes())])
+        k = stream.index(b"\xff\xc4")
+        (dhtlen,) = struct.unpack(">H", stream[k + 2:k + 4])
+        no_dht = stream[:k] + stream[k + 2 + dhtlen:]
+        with pytest.raises(ValueError):
+            jpeg_decode(no_dht)
